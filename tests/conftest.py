@@ -16,3 +16,7 @@ import jax  # noqa: E402
 # JAX_PLATFORMS=axon before conftest runs; the config knob wins over both.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: CPU-XLA compiles of the tiny towers dominate
+# test wall-clock; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tooncrafter")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,85 @@
+"""Data pipeline tests using synthetic videos written via the IO layer."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tooncrafter_tpu.utils import video_io
+from tooncrafter_tpu.utils.tokenizer import ClipTokenizer
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("webvid")
+    data_dir = root / "videos"
+    (data_dir / "p0").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    for vid in range(3):
+        frames = (rng.uniform(0, 255, (40, 64, 96, 3))).astype(np.uint8)
+        path = data_dir / "p0" / f"{vid}.mp4"
+        written = video_io.write_video(str(path), frames, fps=12)
+        if not written.endswith(".mp4"):
+            pytest.skip("no mp4 codec available in cv2 build")
+        rows.append(f"{vid},p0,a cartoon clip number {vid}")
+    meta = root / "meta.csv"
+    meta.write_text("videoid,page_dir,name\n" + "\n".join(rows) + "\n")
+    return str(meta), str(data_dir)
+
+
+def test_roundtrip_video_io(tmp_path):
+    frames = np.zeros((4, 32, 32, 3), np.uint8)
+    frames[1] = 255
+    path = str(tmp_path / "clip.mp4")
+    written = video_io.write_video(path, frames, fps=8)
+    if not written.endswith(".mp4"):
+        pytest.skip("no mp4 codec")
+    back = video_io.read_video_frames(written)
+    assert back.shape == (4, 32, 32, 3)
+    assert back[1].mean() > 200 and back[0].mean() < 55
+
+
+def test_webvid_dataset_sample(video_dir):
+    from tooncrafter_tpu.data.webvid import WebVidDataset
+
+    meta, data_dir = video_dir
+    ds = WebVidDataset(meta, data_dir, video_length=8, frame_stride=4,
+                       resolution=(32, 48), random_fs=True, seed=1)
+    s = ds[0]
+    assert s["video"].shape == (8, 32, 48, 3)
+    assert s["video"].min() >= -1.0 and s["video"].max() <= 1.0
+    assert s["caption"].startswith("a cartoon clip")
+    assert 1 <= int(s["frame_stride"]) <= 4
+
+
+def test_webvid_retry_skips_bad_file(video_dir, tmp_path):
+    from tooncrafter_tpu.data.webvid import WebVidDataset
+
+    meta, data_dir = video_dir
+    # corrupt table entry pointing to a missing file, then a good one
+    bad_meta = tmp_path / "meta.csv"
+    with open(meta) as f:
+        lines = f.read().strip().split("\n")
+    bad_meta.write_text(lines[0] + "\n999,p0,missing video\n"
+                        + "\n".join(lines[1:]) + "\n")
+    ds = WebVidDataset(str(bad_meta), data_dir, video_length=4,
+                       frame_stride=2, resolution=(32, 48))
+    s = ds[0]  # index 0 is the broken row; retry advances
+    assert s["video"].shape == (4, 32, 48, 3)
+
+
+def test_prefetch_loader_batches(video_dir):
+    from tooncrafter_tpu.data.webvid import PrefetchLoader, WebVidDataset
+
+    meta, data_dir = video_dir
+    ds = WebVidDataset(meta, data_dir, video_length=4, frame_stride=2,
+                       resolution=(32, 48))
+    tok = ClipTokenizer(merges=["a b"])
+    loader = PrefetchLoader(ds, batch_size=2, tokenizer=tok, num_workers=2)
+    batches = list(loader)
+    assert len(batches) >= 1
+    b = batches[0]
+    assert b["video"].shape == (2, 4, 32, 48, 3)
+    assert b["tokens"].shape == (2, 77)
+    assert b["null_tokens"].shape == (2, 77)

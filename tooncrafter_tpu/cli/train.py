@@ -1,0 +1,169 @@
+"""Training CLI.
+
+Counterpart of /root/reference/main/trainer.py: config-driven data + model
+construction, LR scaling by global batch (trainer.py:88-93), periodic
+checkpoints, sampled-video logging, SIGUSR1 save-on-preemption
+(trainer.py:129-142), auto-resume.
+
+  python -m tooncrafter_tpu.cli.train --config config.yaml --name run0 \
+      --logdir ./runs [--train]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import signal
+import time
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--name", type=str, default="run")
+    p.add_argument("--logdir", type=str, default="./runs")
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--auto_resume", action="store_true")
+    p.add_argument("--max_steps", type=int, default=100000)
+    p.add_argument("--ckpt_every", type=int, default=1000)
+    p.add_argument("--sample_every", type=int, default=500)
+    p.add_argument("--seed", type=int, default=20230211)
+    p.add_argument("--pretrained_ckpt", type=str, default=None,
+                   help="torch ckpt to warm-start from (any dialect)")
+    p.add_argument("--bpe_path", type=str, default=None)
+    p.add_argument("--n_model_shards", type=int, default=1)
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from tooncrafter_tpu.config import load_yaml, model_config_from_dict
+    from tooncrafter_tpu.data.webvid import PrefetchLoader, WebVidDataset
+    from tooncrafter_tpu.models.diffusion import ToonCrafter
+    from tooncrafter_tpu.parallel import mesh as M
+    from tooncrafter_tpu.training import callbacks as CB
+    from tooncrafter_tpu.training import checkpoints as CKPT
+    from tooncrafter_tpu.training import trainer as T
+    from tooncrafter_tpu.utils.tokenizer import ClipTokenizer
+
+    raw = load_yaml(args.config)
+    cfg = model_config_from_dict(raw)
+    if jax.default_backend() != "cpu":
+        cfg = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
+    model = ToonCrafter(cfg)
+
+    workdir = os.path.join(args.logdir, args.name)
+    ckpt_dir = os.path.join(workdir, "checkpoints")
+    os.makedirs(workdir, exist_ok=True)
+    logger = CB.MetricLogger(workdir)
+
+    # ---- data ----
+    dcfg = raw.get("data", {}).get("params", {})
+    train_d = dcfg.get("train", {}).get("params", {})
+    base_lr = raw.get("model", {}).get("base_learning_rate", 1e-5)
+    bs = dcfg.get("batch_size", 1)
+    tokenizer = (ClipTokenizer(bpe_path=args.bpe_path)
+                 if args.bpe_path else ClipTokenizer(merges=[]))
+    ds = WebVidDataset(
+        meta_path=train_d.get("meta_path", ""),
+        data_dir=train_d.get("data_dir", ""),
+        video_length=train_d.get("video_length", cfg.video_length),
+        frame_stride=train_d.get("frame_stride", 6),
+        resolution=train_d.get("resolution", [cfg.latent_h * 8,
+                                              cfg.latent_w * 8]),
+        fps_max=train_d.get("fps_max"),
+        fixed_fps=train_d.get("fixed_fps"),
+    )
+    loader = PrefetchLoader(ds, bs, tokenizer=tokenizer,
+                            num_workers=dcfg.get("num_workers", 4),
+                            seed=args.seed)
+
+    # ---- mesh / params / optimizer ----
+    mesh = M.make_mesh(n_model=args.n_model_shards)
+    n_chips = len(jax.devices())
+    lr = base_lr * bs * n_chips  # trainer.py:88-93 scaling rule
+    tcfg = T.TrainConfig(
+        learning_rate=lr,
+        uncond_prob=raw.get("model", {}).get("params", {}).get(
+            "uncond_prob", 0.05),
+        rand_cond_frame=raw.get("model", {}).get("params", {}).get(
+            "rand_cond_frame", True))
+
+    rng = jax.random.PRNGKey(args.seed)
+    params = model.init_params(rng)
+    if args.pretrained_ckpt:
+        from tooncrafter_tpu.utils.checkpoint import load_checkpoint
+
+        params, report = load_checkpoint(args.pretrained_ckpt, cfg, params)
+        print(f"warm start: {len(report['missing'])} missing, "
+              f"{len(report.get('filled_from_init', []))} filled from init")
+
+    state, opt = T.make_train_state(model, params, tcfg, use_ema=True)
+    if args.auto_resume:
+        state, start_step = CKPT.restore_train_state(ckpt_dir, state)
+        print(f"resumed at step {start_step}")
+
+    # shard: batch over data axis; big params ZeRO/TP-sharded
+    state = dataclasses.replace(
+        state,
+        train_params=jax.device_put(
+            state.train_params, M.shard_params(state.train_params, mesh)))
+    step_fn = jax.jit(T.make_train_step(model, opt, tcfg))
+    sampler_log = CB.VideoSampleLogger(model, workdir,
+                                       every_steps=args.sample_every)
+    tracker = CB.ThroughputTracker(bs)
+
+    # SIGUSR1 -> checkpoint now (preemption hook, trainer.py:129-142)
+    want_ckpt = {"now": False}
+    signal.signal(signal.SIGUSR1,
+                  lambda *_: want_ckpt.update(now=True))
+
+    if not args.train:
+        print("dry run complete (pass --train to start)")
+        return
+
+    probe = None
+    step = int(state.step)
+    while step < args.max_steps:
+        for batch in loader:
+            if probe is None:
+                probe = batch
+            jb = {
+                "video": jnp.asarray(batch["video"]),
+                "tokens": jnp.asarray(batch["tokens"]),
+                "null_tokens": jnp.asarray(batch["null_tokens"]),
+                "fs": jnp.asarray(batch["fs"]),
+            }
+            jb = jax.device_put(jb, M.batch_sharding(mesh))
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, jb, sub)
+            step = int(state.step)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics.update(tracker.step())
+            metrics.update(CB.device_memory_stats())
+            metrics["lr"] = lr
+            logger.log(step, metrics)
+            if step % 50 == 0:
+                print(f"step {step}: loss={metrics['loss']:.4f} "
+                      f"({metrics.get('samples_per_sec', 0):.2f} samples/s)")
+            full_params = {**state.train_params, **state.frozen_params}
+            rng, sub = jax.random.split(rng)
+            out = sampler_log.maybe_log(step, full_params, probe, sub)
+            if out:
+                print(f"sampled video -> {out}")
+            if step % args.ckpt_every == 0 or want_ckpt["now"]:
+                CKPT.save_train_state(ckpt_dir, step, state)
+                want_ckpt["now"] = False
+            if step >= args.max_steps:
+                break
+    CKPT.save_train_state(ckpt_dir, step, state, wait=True)
+    logger.close()
+    print(f"done at step {step}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""WebVid-style video-clip dataset + async host-side loader.
+
+Rebuilds /root/reference/lvdm/data/webvid.py:13-171 semantics without
+torch/decord:
+  * CSV metadata (pandas), videos under `{data_dir}/{page_dir}/{videoid}.mp4`
+  * random frame stride in [1, frame_stride] when `random_fs`
+    (webvid.py:89-92), shrunk until the clip fits (:109-118)
+  * skip-and-retry on unreadable/short videos (:95-149)
+  * resize shorter side + center crop, normalize to [-1, 1]
+  * returns {'video': (T,H,W,3), 'caption', 'path', 'fps', 'frame_stride'}
+
+The loader is a thread-pooled prefetcher (host CPUs decode while the TPU
+trains) — the tf.data/grain-style async pipeline counterpart of decord's
+native decoding.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import random
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from tooncrafter_tpu.utils import video_io
+
+
+class WebVidDataset:
+    def __init__(self, meta_path: str, data_dir: str, video_length: int = 16,
+                 frame_stride: int = 6, resolution=(320, 512),
+                 random_fs: bool = True, fps_max: Optional[float] = None,
+                 fixed_fps: Optional[float] = None, seed: int = 0):
+        import pandas as pd
+
+        self.meta = pd.read_csv(meta_path)
+        self.data_dir = data_dir
+        self.video_length = video_length
+        self.frame_stride = frame_stride
+        self.random_fs = random_fs
+        self.resolution = tuple(resolution)
+        self.fps_max = fps_max
+        self.fixed_fps = fixed_fps
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.meta)
+
+    def _path(self, row) -> str:
+        rel = os.path.join(str(row["page_dir"]), f"{row['videoid']}.mp4")
+        return os.path.join(self.data_dir, rel)
+
+    def _process(self, frames: np.ndarray) -> np.ndarray:
+        """uint8 (T,H,W,3) -> float32 (T,h,w,3) in [-1,1], resize shorter
+        side then center crop."""
+        import cv2
+
+        t, h, w, _ = frames.shape
+        th, tw = self.resolution
+        scale = max(th / h, tw / w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        out = np.empty((t, nh, nw, 3), np.uint8)
+        for i in range(t):
+            out[i] = cv2.resize(frames[i], (nw, nh),
+                                interpolation=cv2.INTER_LINEAR)
+        top = (nh - th) // 2
+        left = (nw - tw) // 2
+        out = out[:, top:top + th, left:left + tw]
+        return out.astype(np.float32) / 127.5 - 1.0
+
+    def __getitem__(self, index: int) -> Dict:
+        # retry loop: advance through the table on bad samples
+        for _ in range(20):
+            row = self.meta.iloc[index % len(self.meta)]
+            path = self._path(row)
+            try:
+                meta = video_io.video_metadata(path)
+                n = meta["frames"]
+                fs = (self.rng.randint(1, self.frame_stride)
+                      if self.random_fs else self.frame_stride)
+                required = fs * (self.video_length - 1) + 1
+                while required > n and fs > 1:  # shrink stride to fit
+                    fs -= 1
+                    required = fs * (self.video_length - 1) + 1
+                if required > n:
+                    raise ValueError(f"too short: {n} frames")
+                start = self.rng.randint(0, n - required)
+                idxs = list(range(start, start + required, fs))
+                frames = video_io.read_video_frames(path, idxs)
+                video = self._process(frames)
+                fps = meta["fps"] / fs if self.fixed_fps is None \
+                    else self.fixed_fps
+                if self.fps_max:
+                    fps = min(fps, self.fps_max)
+                return {
+                    "video": video,
+                    "caption": str(row.get("name", "")),
+                    "path": path,
+                    "fps": np.float32(fps),
+                    "frame_stride": np.int32(fs),
+                }
+            except Exception:
+                index += 1
+        raise RuntimeError("20 consecutive unreadable samples")
+
+
+class PrefetchLoader:
+    """Thread-pooled shuffling batch loader with bounded prefetch."""
+
+    def __init__(self, dataset, batch_size: int, tokenizer=None,
+                 num_workers: int = 4, prefetch: int = 4, seed: int = 0,
+                 drop_last: bool = True):
+        self.ds = dataset
+        self.bs = batch_size
+        self.tokenizer = tokenizer
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def _collate(self, samples: List[Dict]) -> Dict[str, np.ndarray]:
+        batch = {
+            "video": np.stack([s["video"] for s in samples]),
+            "fs": np.stack([s["frame_stride"] for s in samples]),
+            "fps": np.stack([s["fps"] for s in samples]),
+            "captions": [s["caption"] for s in samples],
+        }
+        if self.tokenizer is not None:
+            batch["tokens"] = self.tokenizer(batch["captions"])
+            batch["null_tokens"] = np.tile(self.tokenizer([""]),
+                                           (len(samples), 1))
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = list(range(len(self.ds)))
+        random.Random(self.seed).shuffle(order)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        lock = threading.Lock()
+        cursor = [0]
+
+        def worker():
+            while not stop.is_set():
+                with lock:
+                    i = cursor[0]
+                    if i + self.bs > len(order):
+                        break
+                    cursor[0] += self.bs
+                idxs = order[i:i + self.bs]
+                try:
+                    samples = [self.ds[j] for j in idxs]
+                    q.put(self._collate(samples))
+                except Exception as exc:  # surface loader errors
+                    q.put(exc)
+                    break
+            q.put(None)
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        finished = 0
+        try:
+            while finished < len(threads):
+                item = q.get()
+                if item is None:
+                    finished += 1
+                    continue
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,292 @@
+"""Top-level latent visual diffusion model (ToonCrafter pipeline).
+
+The functional equivalent of LatentVisualDiffusion
+(/root/reference/lvdm/models/ddpm3d.py:1041-1240) plus the inference-side
+conditioning assembly of scripts/evaluation/inference.py:180-277 — but as a
+pure (params, rng, inputs) -> outputs pipeline:
+
+  encode_first_stage . build_conditioning . ddim_sample . decode_first_stage
+
+Everything between host IO boundaries jits into one graph per phase; the
+hybrid conditioning contract (c_concat latents + [text || per-frame image]
+cross-attn tokens) matches the reference exactly, including:
+  * interp mode: c_concat zero except frames {0, -1} (inference.py:196-204)
+  * latent scale factor 0.18215 (config `scale_factor`)
+  * the dual-ref decoder consumes raw 1/scale latents with post_quant_conv
+    skipped (autoencoder.py:112-116)
+  * middle-frame splice: re-decode with latent frames {1, -2} dropped and
+    overwrite the two center frames (inference.py:264-270)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tooncrafter_tpu.models.clip import (CLIPTextTower, CLIPVisionTower,
+                                         clip_preprocess)
+from tooncrafter_tpu.models.resampler import Resampler
+from tooncrafter_tpu.models.unet import UNetModel
+from tooncrafter_tpu.models.vae import AutoencoderKL, DiagonalGaussian
+from tooncrafter_tpu.models.vae_dualref import DualRefVideoDecoder
+from tooncrafter_tpu.ops import schedule as S
+from tooncrafter_tpu.sampling.ddim import GuidanceConfig, ddim_sample
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Shapes/hyperparameters of the shipped 320x512 interpolation model
+    (configs/inference_512_v1.0.yaml)."""
+
+    # diffusion
+    timesteps: int = 1000
+    linear_start: float = 0.00085
+    linear_end: float = 0.012
+    beta_schedule: str = "linear"
+    rescale_betas_zero_snr: bool = True
+    parameterization: str = "v"
+    scale_factor: float = 0.18215
+    use_dynamic_rescale: bool = True
+    base_scale: float = 0.7
+    turning_step: int = 400
+    # geometry
+    video_length: int = 16
+    latent_h: int = 40
+    latent_w: int = 64
+    # unet
+    unet_in_channels: int = 8
+    unet_out_channels: int = 4
+    model_channels: int = 320
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (4, 2, 1)
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_head_channels: int = 64
+    transformer_depth: int = 1
+    context_dim: int = 1024
+    fs_condition: bool = True
+    default_fs: int = 24
+    # vae
+    vae_ch: int = 128
+    vae_ch_mult: Sequence[int] = (1, 2, 4, 4)
+    vae_num_res_blocks: int = 2
+    z_channels: int = 4
+    dualref_attn_level: Sequence[int] = (2, 3)
+    # conditioning
+    clip_text_width: int = 1024
+    clip_text_heads: int = 16
+    clip_text_layers: int = 24
+    clip_vision_width: int = 1280
+    clip_vision_heads: int = 16
+    clip_vision_layers: int = 32
+    clip_image_size: int = 224
+    resampler_depth: int = 4
+    resampler_heads: int = 12
+    resampler_queries: int = 16
+    # dtypes
+    compute_dtype: Any = jnp.float32
+
+    def tiny(self, **overrides) -> "ModelConfig":
+        """A CPU-testable shrink of every tower (same topology)."""
+        small = dict(
+            video_length=4, latent_h=4, latent_w=4,
+            model_channels=64, num_res_blocks=1, channel_mult=(1, 2),
+            attention_resolutions=(1, 2), num_head_channels=32,
+            context_dim=64,
+            vae_ch=32, vae_ch_mult=(1, 2, 2, 2), vae_num_res_blocks=1,
+            dualref_attn_level=(2, 3),
+            clip_text_width=64, clip_text_heads=4, clip_text_layers=2,
+            clip_vision_width=64, clip_vision_heads=4, clip_vision_layers=2,
+            clip_image_size=28,
+            resampler_depth=1, resampler_heads=4, resampler_queries=4,
+        )
+        small.update(overrides)
+        return dataclasses.replace(self, **small)
+
+
+class ToonCrafter:
+    """Builds the module set and exposes pure pipeline functions.
+
+    Parameter tree layout (one sub-tree per tower, matching the reference's
+    module split for checkpoint conversion):
+      {'unet', 'vae', 'dualref_decoder', 'text_encoder', 'image_encoder',
+       'image_proj'}
+    """
+
+    def __init__(self, config: ModelConfig):
+        self.config = c = config
+        self.schedule = S.build_schedule(
+            timesteps=c.timesteps, beta_schedule=c.beta_schedule,
+            linear_start=c.linear_start, linear_end=c.linear_end,
+            rescale_betas_zero_snr=c.rescale_betas_zero_snr,
+            parameterization=c.parameterization,
+            use_dynamic_rescale=c.use_dynamic_rescale,
+            base_scale=c.base_scale, turning_step=c.turning_step)
+        dt = c.compute_dtype
+        self.unet = UNetModel(
+            in_channels=c.unet_in_channels, model_channels=c.model_channels,
+            out_channels=c.unet_out_channels,
+            num_res_blocks=c.num_res_blocks,
+            attention_resolutions=tuple(c.attention_resolutions),
+            channel_mult=tuple(c.channel_mult),
+            num_head_channels=c.num_head_channels,
+            transformer_depth=c.transformer_depth,
+            context_dim=c.context_dim, temporal_length=c.video_length,
+            fs_condition=c.fs_condition, default_fs=c.default_fs,
+            img_tokens_per_frame=c.resampler_queries, dtype=dt)
+        self.vae = AutoencoderKL(
+            ch=c.vae_ch, ch_mult=tuple(c.vae_ch_mult),
+            num_res_blocks=c.vae_num_res_blocks, z_channels=c.z_channels,
+            embed_dim=c.z_channels, dtype=dt)
+        self.dualref_decoder = DualRefVideoDecoder(
+            ch=c.vae_ch, ch_mult=tuple(c.vae_ch_mult),
+            num_res_blocks=c.vae_num_res_blocks,
+            attn_level=tuple(c.dualref_attn_level), dtype=dt)
+        self.text_encoder = CLIPTextTower(
+            width=c.clip_text_width, heads=c.clip_text_heads,
+            layers=c.clip_text_layers, dtype=dt)
+        self.image_encoder = CLIPVisionTower(
+            width=c.clip_vision_width, heads=c.clip_vision_heads,
+            layers=c.clip_vision_layers, dtype=dt)
+        self.image_proj = Resampler(
+            dim=c.context_dim, depth=c.resampler_depth,
+            heads=c.resampler_heads, num_queries=c.resampler_queries,
+            embedding_dim=c.clip_vision_width, output_dim=c.context_dim,
+            video_length=c.video_length, dtype=dt)
+
+    # ------------------------------------------------------------------
+    # init
+    # ------------------------------------------------------------------
+
+    def init_params(self, rng) -> Dict[str, Any]:
+        c = self.config
+        ks = jax.random.split(rng, 6)
+        t = c.video_length
+        h_px = c.latent_h * 8
+        w_px = c.latent_w * 8
+        frame = jnp.zeros((1, h_px, w_px, 3))
+        z = jnp.zeros((1, t, c.latent_h, c.latent_w, c.z_channels))
+        ctx = jnp.zeros((1, 77 + t * c.resampler_queries, c.context_dim))
+        x = jnp.zeros((1, t, c.latent_h, c.latent_w, c.unet_in_channels))
+        ts = jnp.zeros((1,))
+        params = {}
+        params["vae"] = self.vae.init(ks[0], frame)["params"]
+        # dual-ref decoder init needs ref taps shaped like encoder taps
+        taps = self._tap_shapes(h_px, w_px)
+        refs = [jnp.zeros((1, 2, th, tw, tc)) for (th, tw, tc) in taps]
+        params["dualref_decoder"] = self.dualref_decoder.init(
+            ks[1], z, refs)["params"]
+        params["unet"] = self.unet.init(ks[2], x, ts, ctx, ts)["params"]
+        toks = jnp.zeros((1, 77), jnp.int32)
+        params["text_encoder"] = self.text_encoder.init(ks[3], toks)["params"]
+        sz = c.clip_image_size
+        img = jnp.zeros((1, sz, sz, 3))
+        params["image_encoder"] = self.image_encoder.init(ks[4], img)["params"]
+        n_patch = (sz // self.image_encoder.patch_size) ** 2 + 1
+        vis_tokens = jnp.zeros((1, n_patch, c.clip_vision_width))
+        params["image_proj"] = self.image_proj.init(
+            ks[5], vis_tokens)["params"]
+        return params
+
+    def param_shapes(self, rng=None):
+        """Shape-only parameter template (jax.eval_shape; no compute) —
+        used by the checkpoint converter for validation."""
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        return jax.eval_shape(self.init_params, rng)
+
+    def _tap_shapes(self, h_px, w_px):
+        c = self.config
+        shapes = []
+        h, w = h_px, w_px
+        for i, mult in enumerate(c.vae_ch_mult):
+            shapes.append((h, w, c.vae_ch * mult))
+            if i != len(c.vae_ch_mult) - 1:
+                h, w = (h + 1) // 2, (w + 1) // 2
+        shapes.append((h_px, w_px, c.vae_ch))  # conv_in tap
+        return shapes
+
+    # ------------------------------------------------------------------
+    # pipeline stages (pure)
+    # ------------------------------------------------------------------
+
+    def encode_first_stage(self, params, video, rng=None,
+                           sample_posterior: bool = True):
+        """video: (B, T, H, W, 3) in [-1,1] -> (z: (B,T,h,w,4) scaled,
+        ref taps: list of (B,2,H_l,W_l,C_l) first/last-frame features)."""
+        b, t = video.shape[:2]
+        flat = video.reshape((b * t,) + video.shape[2:])
+        moments, taps = self.vae.apply(
+            {"params": params["vae"]}, flat, return_hidden_states=True,
+            method=AutoencoderKL.encode)
+        post = DiagonalGaussian(moments)
+        z = post.sample(rng) if (sample_posterior and rng is not None) \
+            else post.mode()
+        z = z.reshape((b, t) + z.shape[1:]) * self.config.scale_factor
+        refs = []
+        for tap in taps:
+            tap = tap.reshape((b, t) + tap.shape[1:])
+            refs.append(jnp.concatenate([tap[:, :1], tap[:, -1:]], axis=1))
+        return z, refs
+
+    def encode_text(self, params, tokens):
+        return self.text_encoder.apply(
+            {"params": params["text_encoder"]}, jnp.asarray(tokens))
+
+    def encode_image_context(self, params, frame):
+        """frame: (B, H, W, 3) in [-1,1] -> (B, T*queries, context_dim)."""
+        x = clip_preprocess(frame, self.config.clip_image_size)
+        tokens = self.image_encoder.apply(
+            {"params": params["image_encoder"]}, x)
+        return self.image_proj.apply({"params": params["image_proj"]}, tokens)
+
+    def build_concat_cond(self, z, mode: str = "interp"):
+        """Hybrid c_concat: zeros except frames {0,-1} (interp) or the
+        first-frame latent repeated (single-image i2v)."""
+        if mode == "interp":
+            zeros = jnp.zeros_like(z[:, 1:-1])
+            return jnp.concatenate([z[:, :1], zeros, z[:, -1:]], axis=1)
+        return jnp.tile(z[:, :1], (1, z.shape[1], 1, 1, 1))
+
+    def denoise(self, params, x_T, contexts, concat, fs, rng,
+                guidance: GuidanceConfig, ddim_steps: int = 50,
+                eta: float = 1.0, spacing: str = "uniform_trailing",
+                temperature: float = 1.0):
+        ddim = S.build_ddim_schedule(self.schedule, ddim_steps, eta, spacing)
+
+        def denoiser(x, ts, ctx, fs_):
+            return self.unet.apply({"params": params["unet"]}, x, ts, ctx,
+                                   fs_)
+
+        return ddim_sample(denoiser, self.schedule, ddim, x_T, contexts,
+                           concat, fs, rng, guidance, temperature)
+
+    def decode_first_stage(self, params, z, refs):
+        """z: (B,T,h,w,4) scaled latents -> video (B,T,H,W,3); dual-ref
+        decode with post_quant_conv skipped."""
+        z = z / self.config.scale_factor
+        return self.dualref_decoder.apply(
+            {"params": params["dualref_decoder"]}, z, refs)
+
+    def decode_plain(self, params, z):
+        """Non-dualref decode path (DynamiCrafter-style single-image mode)."""
+        b, t = z.shape[:2]
+        flat = (z / self.config.scale_factor).reshape((b * t,) + z.shape[2:])
+        out = self.vae.apply({"params": params["vae"]}, flat,
+                             method=AutoencoderKL.decode)
+        return out.reshape((b, t) + out.shape[1:])
+
+
+def middle_frame_splice(model: ToonCrafter, params, samples, refs):
+    """Decode twice and splice the two center frames from a decode whose
+    latent frames {1, -2} were dropped (inference.py:262-270)."""
+    full = model.decode_first_stage(params, samples, refs)
+    t = samples.shape[1]
+    keep = [i for i in range(t) if i not in (1, t - 2)]
+    partial = model.decode_first_stage(params, samples[:, keep], refs)
+    mid = full.shape[1] // 2
+    spliced = full.at[:, mid - 1:mid + 1].set(
+        partial[:, mid - 2:mid])
+    return spliced

@@ -1,0 +1,234 @@
+"""Dual-reference 3D VAE decoder — ToonCrafter's core novelty, TPU-native.
+
+Rebuilds the behavior of /root/reference/lvdm/models/autoencoder_dualref.py
+(`VideoDecoder`, shipped with `time_mode="conv-only"`):
+
+  * VideoResBlock — 2D ResnetBlock per frame + a temporal (3,1,1)-conv
+    residual stack, merged per-block with a learned sigmoid alpha
+    (autoencoder_dualref.py:846-911).
+  * AE3DConv — 2D conv followed by a temporal 3D mixing conv
+    (autoencoder_dualref.py:914-935); used for conv_out.
+  * mid spatial attention — single-head self-attention per frame
+    (autoencoder_dualref.py:145-207; the shipped conv-only mode does NOT use
+    the temporal VideoBlocks).
+  * Fusion cross-attention at levels {2,3} — every decoded frame attends to
+    the encoder features of the first/last input frame; to_out is zero-init
+    (autoencoder_dualref.py:256-341). The reference duplicates K/V per frame
+    (:286-292); here all frames share one K/V so frames fold into the query
+    token axis — one large MXU-friendly attention per clip instead of T
+    small ones, numerically identical.
+  * Combiner at levels {0,1} + final — zero-init 1x1 conv of the reference
+    features added into frames 0 and -1 only (autoencoder_dualref.py:343-368).
+  * The dual-ref checkpoint expects `post_quant_conv` to be SKIPPED on this
+    path (autoencoder.py:112-116) — the caller passes raw scaled latents.
+
+Layout: video tensors are (B, T, H, W, C); spatial modules run on the folded
+(B*T, H, W, C) view.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tooncrafter_tpu.ops.norms import GroupNorm, LayerNorm
+from tooncrafter_tpu.ops.attention import attention
+from tooncrafter_tpu.models.vae import (AttnBlock, ResnetBlock, Upsample,
+                                        swish)
+
+zeros_init = nn.initializers.zeros
+
+
+def _fold(x):
+    """(B,T,H,W,C) -> (B*T,H,W,C)"""
+    b, t = x.shape[:2]
+    return x.reshape((b * t,) + x.shape[2:]), b, t
+
+
+class TemporalResStack(nn.Module):
+    """Temporal residual stack: GN+SiLU+Conv3d(3,1,1) x2, zero-init output.
+
+    Equivalent of the SVD ResBlock with dims=3, skip_t_emb=True
+    (autoencoder_dualref.py:534-696 instantiated at :857-869). Runs on
+    (B,T,H,W,C); GroupNorm statistics span T,H,W jointly (torch 5D
+    semantics); eps=1e-5 (lvdm/basics.py `normalization`).
+    """
+
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        c = x.shape[-1]
+        h = GroupNorm(eps=1e-5, name="in_norm")(x)
+        h = swish(h)
+        h = nn.Conv(c, (3, 1, 1), dtype=self.dtype, name="in_conv")(h)
+        h = GroupNorm(eps=1e-5, name="out_norm")(h)
+        h = swish(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(c, (3, 1, 1), dtype=self.dtype, kernel_init=zeros_init,
+                    name="out_conv")(h)
+        return x + h
+
+
+class VideoResBlock(nn.Module):
+    """Spatial ResnetBlock + temporal stack, learned-alpha merged."""
+
+    out_channels: Optional[int] = None
+    dropout: float = 0.0
+    alpha: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        # x: (B, T, H, W, C)
+        b, t = x.shape[:2]
+        flat, _, _ = _fold(x)
+        flat = ResnetBlock(self.out_channels, self.dropout, self.dtype,
+                           name="spatial")(flat, deterministic=deterministic)
+        x = flat.reshape((b, t) + flat.shape[1:])
+        x_mix = x
+        x = TemporalResStack(self.dropout, self.dtype, name="time_stack")(
+            x, deterministic=deterministic)
+        mix = self.param("mix_factor", nn.initializers.constant(self.alpha),
+                         (1,), jnp.float32)
+        a = jax.nn.sigmoid(mix).astype(x.dtype)
+        return a * x + (1.0 - a) * x_mix
+
+
+class AE3DConv(nn.Module):
+    """2D conv per frame + temporal (3,1,1) mixing conv."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, t = x.shape[:2]
+        flat, _, _ = _fold(x)
+        flat = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
+                       name="conv")(flat)
+        y = flat.reshape((b, t) + flat.shape[1:])
+        return nn.Conv(self.out_channels, (3, 1, 1), dtype=self.dtype,
+                       name="time_mix_conv")(y)
+
+
+class FusionCrossAttention(nn.Module):
+    """Per-frame queries attend to first+last-frame encoder features.
+
+    Numerics match MemoryEfficientCrossAttentionWrapperFusion
+    (autoencoder_dualref.py:256-341): GroupNorm -> biasless q/k/v projections
+    -> 8 heads x 64 dims -> zero-init out projection, residual add.
+    """
+
+    heads: int = 8
+    dim_head: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        # x: (B,T,H,W,C); context: (B,2,H,W,C)
+        b, t, hh, ww, c = x.shape
+        inner = self.heads * self.dim_head
+        h = GroupNorm(name="norm")(x)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
+            h.reshape(b, t * hh * ww, c))
+        ctx = context.reshape(b, 2 * context.shape[2] * context.shape[3], c)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        # all frames share K/V -> frames ride the query token axis
+        out = attention(q, k, v, heads=self.heads)
+        out = nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
+                       name="to_out")(out)
+        return x + out.reshape(b, t, hh, ww, c)
+
+
+class Combiner(nn.Module):
+    """Zero-init 1x1 conv injection into the first and last frames only."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        # x: (B,T,H,W,C); context: (B,2,H,W,C)
+        ctx = nn.Dense(x.shape[-1], dtype=self.dtype, kernel_init=zeros_init,
+                       name="conv")(context)
+        first = x[:, :1] + ctx[:, :1]
+        last = x[:, -1:] + ctx[:, 1:2]
+        return jnp.concatenate([first, x[:, 1:-1], last], axis=1)
+
+
+class SpatialAttn(nn.Module):
+    """Per-frame single-head self-attention (mid block)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, t = x.shape[:2]
+        flat, _, _ = _fold(x)
+        flat = AttnBlock(self.dtype, name="attn")(flat)
+        return flat.reshape((b, t) + flat.shape[1:])
+
+
+class DualRefVideoDecoder(nn.Module):
+    """conv-only VideoDecoder with dual-reference injection.
+
+    forward wiring mirrors autoencoder_dualref.Decoder.forward (:489-527):
+    mid -> levels 3..0 [blocks -> inject -> upsample] -> norm -> final
+    inject -> AE3DConv out.
+    """
+
+    ch: int = 128
+    out_ch: int = 3
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_level: Sequence[int] = (2, 3)
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, ref_context=None, *, deterministic: bool = True):
+        """z: (B,T,h,w,z_ch); ref_context: list of 5 (B,2,H_l,W_l,C_l)
+        ordered [level0..level3, conv_in] like the encoder taps."""
+        b, t = z.shape[:2]
+        block_in = self.ch * self.ch_mult[-1]
+        flat, _, _ = _fold(z)
+        flat = nn.Conv(block_in, (3, 3), dtype=self.dtype, name="conv_in")(flat)
+        h = flat.reshape((b, t) + flat.shape[1:])
+
+        h = VideoResBlock(dropout=self.dropout, dtype=self.dtype,
+                          name="mid_block_1")(h, deterministic=deterministic)
+        h = SpatialAttn(self.dtype, name="mid_attn_1")(h)
+        h = VideoResBlock(dropout=self.dropout, dtype=self.dtype,
+                          name="mid_block_2")(h, deterministic=deterministic)
+
+        for i_level in reversed(range(len(self.ch_mult))):
+            out_ch = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks + 1):
+                h = VideoResBlock(
+                    out_ch, dropout=self.dropout, dtype=self.dtype,
+                    name=f"up_{i_level}_block_{i_block}",
+                )(h, deterministic=deterministic)
+            if ref_context is not None:
+                if i_level in self.attn_level:
+                    h = FusionCrossAttention(
+                        dtype=self.dtype, name=f"inject_{i_level}",
+                    )(h, ref_context[i_level])
+                else:
+                    h = Combiner(self.dtype, name=f"inject_{i_level}")(
+                        h, ref_context[i_level])
+            if i_level != 0:
+                flat, _, _ = _fold(h)
+                flat = Upsample(self.dtype, name=f"up_{i_level}_upsample")(flat)
+                h = flat.reshape((b, t) + flat.shape[1:])
+
+        h = GroupNorm(name="norm_out")(h)
+        h = swish(h)
+        if ref_context is not None:
+            h = Combiner(self.dtype, name="inject_out")(h, ref_context[-1])
+        h = AE3DConv(self.out_ch, dtype=self.dtype, name="conv_out")(h)
+        return h

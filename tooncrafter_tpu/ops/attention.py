@@ -1,0 +1,68 @@
+"""Attention core.
+
+One implementation surface used by every attention site in the framework
+(UNet spatial/temporal transformers, VAE attn blocks, dual-ref fusion
+attention, CLIP towers, Perceiver resampler). Reference analogues:
+`lvdm/modules/attention.py:101-124` (einsum path) and the xformers /
+torch-SDPA fast paths (`attention.py:146-209`, `attention_svd.py:332-336`).
+
+TPU story: softmax statistics in fp32, matmuls in the input dtype (bf16 on
+TPU) with fp32 accumulation via `preferred_element_type`. For long sequences
+a Pallas flash-attention kernel (ops/flash_attention.py) is dispatched; the
+XLA path below is the reference semantics and the fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def dot_product_attention(
+    q: jax.Array,          # (B, Sq, H, D)
+    k: jax.Array,          # (B, Sk, H, D)
+    v: jax.Array,          # (B, Sk, H, D)
+    bias: Optional[jax.Array] = None,   # broadcastable to (B, H, Sq, Sk)
+    mask: Optional[jax.Array] = None,   # bool, True = keep
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Plain softmax attention, fp32 softmax, returns (B, Sq, H, D)."""
+    d = q.shape[-1]
+    scale = d ** -0.5 if scale is None else scale
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+def attention(q, k, v, *, heads: int, bias=None, mask=None, scale=None,
+              use_flash: bool = True):
+    """Multi-head attention over flat (B, S, H*D) projections.
+
+    Splits heads, runs the core (Pallas flash kernel when profitable and
+    available, else XLA), and re-merges. This is the single entry point the
+    model code uses.
+    """
+    b, sq, inner = q.shape
+    d = inner // heads
+    qh = q.reshape(b, sq, heads, d)
+    kh = k.reshape(b, k.shape[1], heads, d)
+    vh = v.reshape(b, v.shape[1], heads, d)
+    if use_flash and bias is None and mask is None:
+        from tooncrafter_tpu.ops import flash_attention as fa
+        out = fa.flash_attention(qh, kh, vh, scale=scale)
+    else:
+        out = dot_product_attention(qh, kh, vh, bias=bias, mask=mask,
+                                    scale=scale)
+    return out.reshape(b, sq, inner)

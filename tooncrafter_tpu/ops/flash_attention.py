@@ -1,0 +1,128 @@
+"""Pallas flash-attention for TPU, with an XLA fallback.
+
+Replaces the reference's xformers `memory_efficient_attention` /
+torch-SDPA dispatch (`lvdm/modules/attention.py:146-209`,
+`lvdm/modules/attention_svd.py:332-336`). The kernel is written for the
+shapes this model actually produces:
+
+  * UNet spatial self-attn: Sq = Sk = h*w in {2560, 640, 160}, D = 64
+  * dual-ref fusion attn:   Sq up to 10240, Sk = 2*Sq, D = 64
+  * VAE mid attn:           Sq = Sk = 2560, single head D = 512
+  * everything else (cross 77/16/257 tokens, temporal t=16) is tiny and
+    runs better through plain XLA fusion.
+
+The TPU kernel processes Q in 512-row blocks against KV in 512-row blocks
+with an online-softmax accumulator held in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_INTERPRET = False  # set True to debug the kernel off-TPU
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _use_kernel(sq: int, sk: int, d: int) -> bool:
+    # Kernel pays off once the score matrix stops fitting in VMEM-sized
+    # tiles; small sequences are faster through one fused XLA softmax.
+    return sq >= 1024 and sk >= 1024 and d % 128 in (0, 64) and d <= 512
+
+
+def flash_attention(q, k, v, scale: Optional[float] = None):
+    """q,k,v: (B, S, H, D) -> (B, Sq, H, D)."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if scale is None:
+        scale = d ** -0.5
+    if not (_on_tpu() or _INTERPRET) or not _use_kernel(sq, sk, d):
+        from tooncrafter_tpu.ops.attention import dot_product_attention
+        return dot_product_attention(q, k, v, scale=scale)
+    # fold batch and heads; kernel runs per (b*h)
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    out = _flash_bh(qf, kf, vf, scale)
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _flash_bh(q, k, v, scale: float):
+    """(BH, Sq, D) x (BH, Sk, D) flash attention via Pallas."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    blk_q = min(512, sq)
+    blk_k = min(512, sk)
+    n_q = pl.cdiv(sq, blk_q)
+    n_k = pl.cdiv(sk, blk_k)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref):
+        kv_i = pl.program_id(2)
+
+        @pl.when(kv_i == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+            l_ref[:] = jnp.zeros_like(l_ref)
+
+        qb = q_ref[0]            # (blk_q, d)
+        kb = k_ref[0]            # (blk_k, d)
+        vb = v_ref[0]
+        s = jax.lax.dot_general(
+            qb, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                 # (blk_q, blk_k) fp32
+
+        m_prev = m_ref[:]         # (blk_q, 128) broadcast storage
+        m_cur = jnp.max(s, axis=-1, keepdims=True)          # (blk_q, 1)
+        m_new = jnp.maximum(m_prev[:, :1], m_cur)
+        correction = jnp.exp(m_prev[:, :1] - m_new)
+        p = jnp.exp(s - m_new)                               # (blk_q, blk_k)
+        l_new = correction * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * correction + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+        @pl.when(kv_i == n_k - 1)
+        def _finish():
+            o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+    grid = (bh, n_q, n_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, blk_k, d), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, blk_k, d), lambda b_, i, j: (b_, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, d), lambda b_, i, j: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, d), jnp.float32),
+            pltpu.VMEM((blk_q, 128), jnp.float32),
+            pltpu.VMEM((blk_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(q, k, v)
+    return out

@@ -1,0 +1,70 @@
+"""Normalization ops with explicit fp32 statistics.
+
+The reference forces GroupNorm to fp32 under AMP (`lvdm/basics.py:76-87`,
+GroupNorm32) and uses eps=1e-5 in the UNet (`torch.nn.GroupNorm` default) but
+eps=1e-6 in the VAE/transformer norms (`ae_modules.py:17-19`,
+`attention.py:265`). Here statistics are always computed in fp32 and the
+result is cast back to the input dtype, which is the bf16-safe TPU equivalent.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-6):
+    """GroupNorm over channels-last input of any rank.
+
+    x: (N, *spatial, C). Statistics are taken jointly over all spatial dims
+    and the channels within a group — matching torch semantics for both 4D
+    (N,C,H,W) and 5D (N,C,T,H,W) inputs (the temporal conv blocks normalize
+    across T as well).
+    """
+    orig_dtype = x.dtype
+    n = x.shape[0]
+    c = x.shape[-1]
+    assert c % num_groups == 0, (c, num_groups)
+    xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    xf = (xf - mean) / jnp.sqrt(var + eps)
+    xf = xf.reshape(x.shape)
+    out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+class GroupNorm(nn.Module):
+    """Affine GroupNorm with fp32 statistics; params stored fp32.
+
+    Param names `weight`/`bias` intentionally match torch's GroupNorm so the
+    checkpoint converter is mechanical.
+    """
+
+    num_groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(x, weight, bias, self.num_groups, self.eps)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the last axis with fp32 statistics (torch param names)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        out = (xf - mean) / jnp.sqrt(var + self.eps)
+        out = out * weight + bias
+        return out.astype(x.dtype)
