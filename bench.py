@@ -36,17 +36,29 @@ def build(full: bool):
     return ToonCrafter(cfg), cfg, ddim_steps
 
 
+T0 = time.perf_counter()
+
+
 def main():
     full = jax.default_backend() not in ("cpu",)
     model, cfg, ddim_steps = build(full)
     from tooncrafter_tpu.sampling.ddim import GuidanceConfig
 
     rng = jax.random.PRNGKey(0)
-    params = model.init_params(rng)
     if full:
-        params = jax.tree_util.tree_map(
-            lambda p: p.astype(jnp.bfloat16)
-            if p.dtype == jnp.float32 else p, params)
+        # benchmark-valid synthetic weights: runtime is independent of
+        # parameter values, and one jitted fill avoids a 2.5B-param
+        # initializer program
+        shapes = model.param_shapes()
+
+        @jax.jit
+        def synth():
+            return jax.tree_util.tree_map(
+                lambda s: jnp.full(s.shape, 0.02, jnp.bfloat16), shapes)
+
+        params = synth()
+    else:
+        params = model.init_params(rng)
 
     t = cfg.video_length
     h_px, w_px = cfg.latent_h * 8, cfg.latent_w * 8
@@ -57,34 +69,31 @@ def main():
     fs = jnp.full((b,), 10.0)
     guidance = GuidanceConfig(cfg_scale=7.5, guidance_rescale=0.7)
 
-    def clip_pipeline(params, video, tokens, fs, rng):
-        r1, r2, r3 = jax.random.split(rng, 3)
-        z, refs = model.encode_first_stage(params, video, rng=r1)
-        concat = model.build_concat_cond(z, "interp")
-        text_emb = model.encode_text(params, tokens)
-        img_ctx = model.encode_image_context(params, video[:, 0])
-        uc_img = model.encode_image_context(params,
-                                            jnp.zeros_like(video[:, 0]))
-        cond = jnp.concatenate([text_emb, img_ctx], axis=1)
-        uc = jnp.concatenate([text_emb, uc_img], axis=1)
-        contexts = jnp.stack([uc, cond])
-        x_T = jax.random.normal(r2, z.shape)
-        samples = model.denoise(params, x_T, contexts, concat, fs, r3,
-                                guidance, ddim_steps=ddim_steps)
-        from tooncrafter_tpu.models.diffusion import middle_frame_splice
-        return middle_frame_splice(model, params, samples, refs)
+    from tooncrafter_tpu.models.diffusion import Pipeline
 
-    fn = jax.jit(clip_pipeline)
-    # warmup/compile
-    out = fn(params, video, tokens, fs, jax.random.PRNGKey(2))
-    jax.block_until_ready(out)
+    pipe = Pipeline(model, ddim_steps=ddim_steps, guidance=guidance)
+
+    def log(msg):
+        print(f"[bench +{time.perf_counter() - T0:.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    def run(key):
+        out = pipe(params, video, tokens, tokens, fs, key)
+        # scalar host read: block_until_ready under-synchronizes on remote
+        # backends; a mean() readback forces completion of the whole chain
+        # at negligible transfer cost
+        return float(jnp.mean(out.astype(jnp.float32)))
+
+    log("params ready; warmup starting")
+    run(jax.random.PRNGKey(2))  # warmup/compile (persistently cached)
+    log("warmup done")
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        out = fn(params, video, tokens, fs, jax.random.PRNGKey(3 + i))
-        jax.block_until_ready(out)
+        run(jax.random.PRNGKey(3 + i))
         times.append(time.perf_counter() - t0)
+        log(f"run {i}: {times[-1]:.2f}s")
     times.sort()
     p50 = times[len(times) // 2]
 

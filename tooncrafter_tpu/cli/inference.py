@@ -144,33 +144,12 @@ def main(argv=None):
         cfg_img=args.cfg_img if args.multiple_cond_cfg else None,
         guidance_rescale=args.guidance_rescale)
 
-    def pipeline(params, video, tokens, null_tokens, fs, rng):
-        r1, r2, r3 = jax.random.split(rng, 3)
-        z, refs = model.encode_first_stage(params, video, rng=r1)
-        concat = model.build_concat_cond(
-            z, "interp" if (args.interp or args.loop) else "repeat")
-        text_emb = model.encode_text(params, tokens)
-        uc_text = model.encode_text(params, null_tokens)
-        img_ctx = model.encode_image_context(params, video[:, 0])
-        uc_img = model.encode_image_context(params,
-                                            jnp.zeros_like(video[:, 0]))
-        cond = jnp.concatenate([text_emb, img_ctx], axis=1)
-        uc = jnp.concatenate([uc_text, uc_img], axis=1)
-        if guidance.num_branches == 3:
-            uc2 = jnp.concatenate([uc_text, img_ctx], axis=1)
-            contexts = jnp.stack([uc, uc2, cond])
-        elif guidance.num_branches == 2:
-            contexts = jnp.stack([uc, cond])
-        else:
-            contexts = cond[None]
-        x_T = jax.random.normal(r2, z.shape)
-        samples = model.denoise(params, x_T, contexts, concat, fs, r3,
-                                guidance, ddim_steps=args.ddim_steps,
-                                eta=args.ddim_eta,
-                                spacing=args.timestep_spacing)
-        return middle_frame_splice(model, params, samples, refs)
+    from tooncrafter_tpu.models.diffusion import Pipeline
 
-    jpipe = jax.jit(pipeline)
+    jpipe = Pipeline(
+        model, ddim_steps=args.ddim_steps, eta=args.ddim_eta,
+        spacing=args.timestep_spacing, guidance=guidance,
+        mode="interp" if (args.interp or args.loop) else "repeat")
     os.makedirs(os.path.join(args.savedir, "samples_separate"),
                 exist_ok=True)
     for idx in range(sel.start or 0, sel.stop or len(prompts)):

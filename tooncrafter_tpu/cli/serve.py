@@ -58,42 +58,21 @@ class Image2Video:
                           else None)
         self._jitted = None
 
-    def _pipeline(self):
-        import jax
-        import jax.numpy as jnp
-
-        from tooncrafter_tpu.models.diffusion import middle_frame_splice
+    def _pipeline(self, steps: int, cfg_scale: float, eta: float,
+                  mode: str = "interp"):
+        from tooncrafter_tpu.models.diffusion import Pipeline
         from tooncrafter_tpu.sampling.ddim import GuidanceConfig
 
-        if self._jitted is not None:
-            return self._jitted
-        model = self.model
-
-        def run(params, video, tokens, null_tokens, fs, rng, cfg_scale,
-                eta, steps):
-            guidance = GuidanceConfig(cfg_scale=cfg_scale,
-                                      guidance_rescale=0.7)
-            r1, r2, r3 = jax.random.split(rng, 3)
-            z, refs = model.encode_first_stage(params, video, rng=r1)
-            concat = model.build_concat_cond(z, "interp")
-            text = model.encode_text(params, tokens)
-            uc_text = model.encode_text(params, null_tokens)
-            img = model.encode_image_context(params, video[:, 0])
-            uc_img = model.encode_image_context(params,
-                                               jnp.zeros_like(video[:, 0]))
-            contexts = jnp.stack([
-                jnp.concatenate([uc_text, uc_img], axis=1),
-                jnp.concatenate([text, img], axis=1)])
-            x_T = jax.random.normal(r2, z.shape)
-            samples = model.denoise(params, x_T, contexts, concat, fs, r3,
-                                    guidance, ddim_steps=steps, eta=eta,
-                                    spacing="uniform_trailing")
-            return middle_frame_splice(model, params, samples, refs)
-
-        # steps/cfg/eta are static per compile; cache per (steps,) combo
-        self._jitted = jax.jit(run, static_argnames=("cfg_scale", "eta",
-                                                     "steps"))
-        return self._jitted
+        key = (steps, cfg_scale, eta, mode)
+        if self._jitted is None:
+            self._jitted = {}
+        if key not in self._jitted:
+            self._jitted[key] = Pipeline(
+                self.model, ddim_steps=steps, eta=eta,
+                guidance=GuidanceConfig(cfg_scale=cfg_scale,
+                                        guidance_rescale=0.7),
+                mode=mode)
+        return self._jitted[key]
 
     def get_image(self, image_a: np.ndarray, prompt: str,
                   steps: int = 50, cfg_scale: float = 7.5, eta: float = 1.0,
@@ -114,8 +93,9 @@ class Image2Video:
             x = jnp.asarray(img, jnp.float32) / 127.5 - 1.0
             return np.asarray(center_crop_resize(x[None], h, w))
 
+        interp = image_b is not None
         fa = prep(image_a)
-        fb = prep(image_b if image_b is not None else image_a)
+        fb = prep(image_b if interp else image_a)
         half = t // 2
         video = np.concatenate([np.repeat(fa, half, 0),
                                 np.repeat(fb, t - half, 0)], 0)[None]
@@ -125,10 +105,10 @@ class Image2Video:
         else:
             tokens = jnp.zeros((1, 77), jnp.int32)
             null_tokens = tokens
-        out = self._pipeline()(
-            self.params, jnp.asarray(video), tokens, null_tokens,
-            jnp.full((1,), float(fs)), jax.random.PRNGKey(seed),
-            float(cfg_scale), float(eta), int(steps))
+        pipe = self._pipeline(int(steps), float(cfg_scale), float(eta),
+                              mode="interp" if interp else "repeat")
+        out = pipe(self.params, jnp.asarray(video), tokens, null_tokens,
+                   jnp.full((1,), float(fs)), jax.random.PRNGKey(seed))
         name = f"i2v_{int(time.time())}.mp4"
         path = write_video(os.path.join(self.result_dir, name),
                            np.asarray(out[0], np.float32), fps=8)

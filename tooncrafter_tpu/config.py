@@ -101,6 +101,7 @@ def model_config_from_dict(cfg: Dict[str, Any]) -> ModelConfig:
         context_dim=unet.get("context_dim", 1024),
         fs_condition=unet.get("fs_condition", True),
         default_fs=unet.get("default_fs", 24),
+        use_checkpoint=unet.get("use_checkpoint", False),
         vae_ch=dd.get("ch", 128),
         vae_ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
         vae_num_res_blocks=dd.get("num_res_blocks", 2),

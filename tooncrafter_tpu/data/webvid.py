@@ -52,22 +52,13 @@ class WebVidDataset:
         return os.path.join(self.data_dir, rel)
 
     def _process(self, frames: np.ndarray) -> np.ndarray:
-        """uint8 (T,H,W,3) -> float32 (T,h,w,3) in [-1,1], resize shorter
-        side then center crop."""
-        import cv2
+        """uint8 (T,H,W,3) -> float32 (T,h,w,3) in [-1,1]: resize-to-cover +
+        center crop + normalize, via the native C++ kernel (threaded across
+        frames; cv2 fallback inside)."""
+        from tooncrafter_tpu import native
 
-        t, h, w, _ = frames.shape
         th, tw = self.resolution
-        scale = max(th / h, tw / w)
-        nh, nw = int(round(h * scale)), int(round(w * scale))
-        out = np.empty((t, nh, nw, 3), np.uint8)
-        for i in range(t):
-            out[i] = cv2.resize(frames[i], (nw, nh),
-                                interpolation=cv2.INTER_LINEAR)
-        top = (nh - th) // 2
-        left = (nw - tw) // 2
-        out = out[:, top:top + th, left:left + tw]
-        return out.astype(np.float32) / 127.5 - 1.0
+        return native.preprocess_clip(frames, th, tw)
 
     def __getitem__(self, index: int) -> Dict:
         # retry loop: advance through the table on bad samples

@@ -69,6 +69,7 @@ class ModelConfig:
     context_dim: int = 1024
     fs_condition: bool = True
     default_fs: int = 24
+    use_checkpoint: bool = False  # remat UNet blocks during training
     # vae
     vae_ch: int = 128
     vae_ch_mult: Sequence[int] = (1, 2, 4, 4)
@@ -136,7 +137,8 @@ class ToonCrafter:
             transformer_depth=c.transformer_depth,
             context_dim=c.context_dim, temporal_length=c.video_length,
             fs_condition=c.fs_condition, default_fs=c.default_fs,
-            img_tokens_per_frame=c.resampler_queries, dtype=dt)
+            img_tokens_per_frame=c.resampler_queries,
+            use_checkpoint=c.use_checkpoint, dtype=dt)
         self.vae = AutoencoderKL(
             ch=c.vae_ch, ch_mult=tuple(c.vae_ch_mult),
             num_res_blocks=c.vae_num_res_blocks, z_channels=c.z_channels,
@@ -162,6 +164,9 @@ class ToonCrafter:
     # ------------------------------------------------------------------
 
     def init_params(self, rng) -> Dict[str, Any]:
+        """Jitted initialization — eager flax init dispatches thousands of
+        host ops (minutes on remote-dispatch backends); one compiled init
+        per tower is orders of magnitude faster."""
         c = self.config
         ks = jax.random.split(rng, 6)
         t = c.video_length
@@ -173,21 +178,21 @@ class ToonCrafter:
         x = jnp.zeros((1, t, c.latent_h, c.latent_w, c.unet_in_channels))
         ts = jnp.zeros((1,))
         params = {}
-        params["vae"] = self.vae.init(ks[0], frame)["params"]
+        params["vae"] = jax.jit(self.vae.init)(ks[0], frame)["params"]
         # dual-ref decoder init needs ref taps shaped like encoder taps
         taps = self._tap_shapes(h_px, w_px)
         refs = [jnp.zeros((1, 2, th, tw, tc)) for (th, tw, tc) in taps]
-        params["dualref_decoder"] = self.dualref_decoder.init(
+        params["dualref_decoder"] = jax.jit(self.dualref_decoder.init)(
             ks[1], z, refs)["params"]
-        params["unet"] = self.unet.init(ks[2], x, ts, ctx, ts)["params"]
+        params["unet"] = jax.jit(self.unet.init)(ks[2], x, ts, ctx, ts)["params"]
         toks = jnp.zeros((1, 77), jnp.int32)
-        params["text_encoder"] = self.text_encoder.init(ks[3], toks)["params"]
+        params["text_encoder"] = jax.jit(self.text_encoder.init)(ks[3], toks)["params"]
         sz = c.clip_image_size
         img = jnp.zeros((1, sz, sz, 3))
-        params["image_encoder"] = self.image_encoder.init(ks[4], img)["params"]
+        params["image_encoder"] = jax.jit(self.image_encoder.init)(ks[4], img)["params"]
         n_patch = (sz // self.image_encoder.patch_size) ** 2 + 1
         vis_tokens = jnp.zeros((1, n_patch, c.clip_vision_width))
-        params["image_proj"] = self.image_proj.init(
+        params["image_proj"] = jax.jit(self.image_proj.init)(
             ks[5], vis_tokens)["params"]
         return params
 
@@ -277,6 +282,81 @@ class ToonCrafter:
         out = self.vae.apply({"params": params["vae"]}, flat,
                              method=AutoencoderKL.decode)
         return out.reshape((b, t) + out.shape[1:])
+
+
+class Pipeline:
+    """Per-phase jitted inference pipeline.
+
+    One monolithic jit of encode+denoise+decode produces a very large XLA
+    program (slow to compile, especially via remote-compile backends);
+    phase-splitting keeps each unit small, lets the denoise graph be reused
+    across decode variants, and matches the natural host-sync points.
+    """
+
+    def __init__(self, model: ToonCrafter, ddim_steps: int = 50,
+                 eta: float = 1.0, spacing: str = "uniform_trailing",
+                 guidance: Optional["GuidanceConfig"] = None,
+                 mode: str = "interp", use_splice: bool = True):
+        from tooncrafter_tpu.sampling.ddim import GuidanceConfig as GC
+
+        self.model = model
+        self.guidance = guidance or GC(cfg_scale=7.5, guidance_rescale=0.7)
+        self.mode = mode
+        self.use_splice = use_splice
+        self._ddim = dict(ddim_steps=ddim_steps, eta=eta, spacing=spacing)
+
+        m = model
+
+        @jax.jit
+        def encode(params, video, rng):
+            z, refs = m.encode_first_stage(params, video, rng=rng)
+            concat = m.build_concat_cond(z, self.mode)
+            return z, refs, concat
+
+        @jax.jit
+        def conditioning(params, tokens, null_tokens, frame0):
+            text = m.encode_text(params, tokens)
+            uc_text = m.encode_text(params, null_tokens)
+            img = m.encode_image_context(params, frame0)
+            uc_img = m.encode_image_context(params, jnp.zeros_like(frame0))
+            cond = jnp.concatenate([text, img], axis=1)
+            uc = jnp.concatenate([uc_text, uc_img], axis=1)
+            if self.guidance.num_branches == 3:
+                uc2 = jnp.concatenate([uc_text, img], axis=1)
+                return jnp.stack([uc, uc2, cond])
+            if self.guidance.num_branches == 2:
+                return jnp.stack([uc, cond])
+            return cond[None]
+
+        @jax.jit
+        def denoise(params, z_shape_like, contexts, concat, fs, rng):
+            r1, r2 = jax.random.split(rng)
+            x_T = jax.random.normal(r1, z_shape_like.shape)
+            return m.denoise(params, x_T, contexts, concat, fs, r2,
+                             self.guidance, **self._ddim)
+
+        @jax.jit
+        def decode(params, samples, refs):
+            return m.decode_first_stage(params, samples, refs)
+
+        self._encode = encode
+        self._conditioning = conditioning
+        self._denoise = denoise
+        self._decode = decode
+
+    def __call__(self, params, video, tokens, null_tokens, fs, rng):
+        z, refs, concat = self._encode(params, video, rng)
+        contexts = self._conditioning(params, tokens, null_tokens,
+                                      video[:, 0])
+        samples = self._denoise(params, z, contexts, concat, fs, rng)
+        full = self._decode(params, samples, refs)
+        if not self.use_splice:
+            return full
+        t = samples.shape[1]
+        keep = [i for i in range(t) if i not in (1, t - 2)]
+        partial = self._decode(params, samples[:, keep], refs)
+        mid = full.shape[1] // 2
+        return full.at[:, mid - 1:mid + 1].set(partial[:, mid - 2:mid])
 
 
 def middle_frame_splice(model: ToonCrafter, params, samples, refs):

@@ -31,7 +31,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tooncrafter_tpu.ops.attention import attention
+from tooncrafter_tpu.ops.attention import (attention,
+                                           temporal_attention_inplace)
 from tooncrafter_tpu.ops.norms import GroupNorm, LayerNorm
 from tooncrafter_tpu.ops.resize import upsample_nearest_2x
 from tooncrafter_tpu.ops.schedule import timestep_embedding
@@ -80,8 +81,10 @@ class UNetResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, *, num_frames: int, deterministic: bool = True):
+    def __call__(self, x, emb, num_frames: int = 16,
+                 deterministic: bool = True):
         # x: (B*T, H, W, C); emb: (B*T, emb_ch)
+        # num_frames/deterministic are positional-static for nn.remat
         out_ch = self.out_channels or x.shape[-1]
         h = GroupNorm(eps=1e-5, name="in_norm")(x)
         h = silu(h)
@@ -157,6 +160,19 @@ class CrossAttention(nn.Module):
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         out_dim = x.shape[-1]
 
+        if x.ndim == 5:
+            # temporal in-place path: (B,T,H,W,C), attention over T
+            assert self_attn
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_k")(x)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_v")(x)
+            out = temporal_attention_inplace(q, k, v, heads=self.heads,
+                                             mask=mask)
+            out = nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
+            return nn.Dropout(self.dropout,
+                              deterministic=deterministic)(out)
+
         if self.image_branch and not self_attn:
             ctx_text = ctx[:, :self.text_len]
             ctx_img = ctx[:, self.text_len:]
@@ -224,7 +240,7 @@ class SpatialTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, *, deterministic: bool = True):
+    def __call__(self, x, context=None, deterministic: bool = True):
         bt, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
         h = GroupNorm(eps=1e-6, name="norm")(x)
@@ -252,16 +268,14 @@ class TemporalTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
-        # x: (B, T, H, W, C)
+    def __call__(self, x, deterministic: bool = True):
+        # x: (B, T, H, W, C) — kept in place; attention runs over T via
+        # einsum so no (B*H*W, T, C) transpose materializes
         b, t, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
         h = GroupNorm(eps=1e-6, name="norm")(x)
-        h = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, t, c)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
-        mask = None
-        if self.causal:
-            mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
+        mask = jnp.tril(jnp.ones((t, t), bool)) if self.causal else None
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.heads, self.dim_head, cross=False,
@@ -269,7 +283,6 @@ class TemporalTransformer(nn.Module):
             )(h, None, mask, deterministic=deterministic)
         h = nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
                      name="proj_out")(h)
-        h = h.reshape(b, hh, ww, t, c).transpose(0, 3, 1, 2, 4)
         return x + h
 
 
@@ -313,6 +326,7 @@ class UNetModel(nn.Module):
     dropout: float = 0.1
     text_len: int = 77
     img_tokens_per_frame: int = 16
+    use_checkpoint: bool = False  # per-block nn.remat (training memory)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -356,24 +370,29 @@ class UNetModel(nn.Module):
         h = x.reshape(b * t, hh, ww, x.shape[-1]).astype(self.dtype)
 
         def res(idx_name, ch, h):
-            return UNetResBlock(ch, self.dropout, use_temporal_conv=True,
-                                dtype=self.dtype, name=idx_name)(
-                h, emb, num_frames=t, deterministic=deterministic)
+            cls = (nn.remat(UNetResBlock, static_argnums=(3, 4))
+                   if self.use_checkpoint else UNetResBlock)
+            return cls(ch, self.dropout, use_temporal_conv=True,
+                       dtype=self.dtype, name=idx_name)(
+                h, emb, t, deterministic)
 
         def spatial(idx_name, ch, h):
             heads = ch // self.num_head_channels
-            return SpatialTransformer(
+            cls = (nn.remat(SpatialTransformer, static_argnums=(3,))
+                   if self.use_checkpoint else SpatialTransformer)
+            return cls(
                 heads, self.num_head_channels, self.transformer_depth,
                 image_branch=self.image_cross_attention, dtype=self.dtype,
-                name=idx_name)(h, ctx, deterministic=deterministic)
+                name=idx_name)(h, ctx, deterministic)
 
         def temporal(idx_name, ch, h, heads=None):
             heads = heads or ch // self.num_head_channels
             h5 = h.reshape((b, t) + h.shape[1:])
-            h5 = TemporalTransformer(
+            cls = (nn.remat(TemporalTransformer, static_argnums=(2,))
+                   if self.use_checkpoint else TemporalTransformer)
+            h5 = cls(
                 heads, self.num_head_channels, self.transformer_depth,
-                dtype=self.dtype, name=idx_name)(
-                h5, deterministic=deterministic)
+                dtype=self.dtype, name=idx_name)(h5, deterministic)
             return h5.reshape(h.shape)
 
         # ---- input blocks ----

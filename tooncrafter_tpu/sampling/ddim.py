@@ -130,3 +130,36 @@ def ddim_sample(
         step, (x_T, rng),
         (steps.astype(jnp.float32), alphas, alphas_prev, sigmas, rescales))
     return x
+
+
+def stochastic_encode(ddim: DDIMSchedule, x0, step_index: int, rng):
+    """Noise x0 to the DDIM step `step_index` marginal (ddim.py:303-317):
+    x_t = sqrt(a)x0 + sqrt(1-a)eps over the DDIM sub-schedule."""
+    a = float(ddim.alphas[step_index])
+    noise = jax.random.normal(rng, x0.shape, x0.dtype)
+    return np.sqrt(a) * x0 + np.sqrt(1.0 - a) * noise
+
+
+def ddim_decode_from(
+    denoiser, sched: DiffusionSchedule, ddim: DDIMSchedule, x_t,
+    contexts, concat, fs, rng, guidance: GuidanceConfig,
+    t_start: int,
+):
+    """Run the DDIM loop from step t_start (exclusive) down to 0 —
+    the sampler's `decode` path (ddim.py:281-301) used for img2img-style
+    editing after `stochastic_encode`."""
+    import dataclasses as _dc
+
+    sub = DDIMSchedule(
+        timesteps=ddim.timesteps[:t_start],
+        alphas=ddim.alphas[:t_start],
+        alphas_prev=ddim.alphas_prev[:t_start],
+        sigmas=ddim.sigmas[:t_start],
+        sqrt_one_minus_alphas=ddim.sqrt_one_minus_alphas[:t_start],
+        scale_arr=None if ddim.scale_arr is None
+        else ddim.scale_arr[:t_start],
+        scale_arr_prev=None if ddim.scale_arr_prev is None
+        else ddim.scale_arr_prev[:t_start],
+    )
+    return ddim_sample(denoiser, sched, sub, x_t, contexts, concat, fs, rng,
+                       guidance)

@@ -21,8 +21,10 @@ except Exception:  # pragma: no cover
 
 
 def to_uint8(video: np.ndarray) -> np.ndarray:
-    """(T,H,W,3) float in [-1,1] -> uint8 RGB."""
-    v = np.clip(np.asarray(video, np.float32), -1.0, 1.0)
+    """(T,H,W,3) float in [-1,1] -> uint8 RGB (NaN-safe)."""
+    v = np.nan_to_num(np.asarray(video, np.float32), nan=0.0,
+                      posinf=1.0, neginf=-1.0)
+    v = np.clip(v, -1.0, 1.0)
     return ((v + 1.0) * 127.5).astype(np.uint8)
 
 
@@ -57,6 +59,13 @@ def _write_png(path: str, frame: np.ndarray):
     else:
         from PIL import Image
         Image.fromarray(frame).save(path)
+
+
+def write_video_grid(path: str, videos: np.ndarray, fps: int = 8) -> str:
+    """(N,T,H,W,3) batch -> one mp4 with clips side by side (the
+    save_results grid of utils/save_video.py:27-41)."""
+    grid = np.concatenate(list(videos), axis=2)  # stack along width
+    return write_video(path, grid, fps=fps)
 
 
 def read_video_frames(path: str, indices: Optional[Sequence[int]] = None
