@@ -102,6 +102,8 @@ def model_config_from_dict(cfg: Dict[str, Any]) -> ModelConfig:
         fs_condition=unet.get("fs_condition", True),
         default_fs=unet.get("default_fs", 24),
         use_checkpoint=unet.get("use_checkpoint", False),
+        use_relative_position=unet.get("use_relative_position", False),
+        use_causal_attention=unet.get("use_causal_attention", False),
         vae_ch=dd.get("ch", 128),
         vae_ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
         vae_num_res_blocks=dd.get("num_res_blocks", 2),

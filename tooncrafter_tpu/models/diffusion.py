@@ -70,6 +70,8 @@ class ModelConfig:
     fs_condition: bool = True
     default_fs: int = 24
     use_checkpoint: bool = False  # remat UNet blocks during training
+    use_relative_position: bool = False
+    use_causal_attention: bool = False
     # vae
     vae_ch: int = 128
     vae_ch_mult: Sequence[int] = (1, 2, 4, 4)
@@ -138,7 +140,9 @@ class ToonCrafter:
             context_dim=c.context_dim, temporal_length=c.video_length,
             fs_condition=c.fs_condition, default_fs=c.default_fs,
             img_tokens_per_frame=c.resampler_queries,
-            use_checkpoint=c.use_checkpoint, dtype=dt)
+            use_checkpoint=c.use_checkpoint,
+            use_relative_position=c.use_relative_position,
+            use_causal_attention=c.use_causal_attention, dtype=dt)
         self.vae = AutoencoderKL(
             ch=c.vae_ch, ch_mult=tuple(c.vae_ch_mult),
             num_res_blocks=c.vae_num_res_blocks, z_channels=c.z_channels,

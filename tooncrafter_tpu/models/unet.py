@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 from tooncrafter_tpu.ops.attention import (attention,
                                            temporal_attention_inplace)
-from tooncrafter_tpu.ops.norms import GroupNorm, LayerNorm
+from tooncrafter_tpu.ops.norms import (GroupNorm, GroupNormAct,
+                                        LayerNorm)
 from tooncrafter_tpu.ops.resize import upsample_nearest_2x
 from tooncrafter_tpu.ops.schedule import timestep_embedding
 
@@ -60,8 +61,7 @@ class TemporalConvBlock(nn.Module):
         c = x.shape[-1]
         h = x
         for i, zero in ((1, False), (2, False), (3, False), (4, True)):
-            h = GroupNorm(eps=1e-5, name=f"norm{i}")(h)
-            h = silu(h)
+            h = GroupNormAct(eps=1e-5, name=f"norm{i}")(h)
             if i > 1:
                 h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             h = nn.Conv(c, (3, 1, 1), dtype=self.dtype,
@@ -86,13 +86,11 @@ class UNetResBlock(nn.Module):
         # x: (B*T, H, W, C); emb: (B*T, emb_ch)
         # num_frames/deterministic are positional-static for nn.remat
         out_ch = self.out_channels or x.shape[-1]
-        h = GroupNorm(eps=1e-5, name="in_norm")(x)
-        h = silu(h)
+        h = GroupNormAct(eps=1e-5, name="in_norm")(x)
         h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="in_conv")(h)
         e = nn.Dense(out_ch, dtype=self.dtype, name="emb_proj")(silu(emb))
         h = h + e[:, None, None, :].astype(h.dtype)
-        h = GroupNorm(eps=1e-5, name="out_norm")(h)
-        h = silu(h)
+        h = GroupNormAct(eps=1e-5, name="out_norm")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, kernel_init=zeros_init,
                     name="out_conv")(h)
@@ -149,6 +147,8 @@ class CrossAttention(nn.Module):
     ip_scale: float = 1.0
     text_len: int = 77
     dropout: float = 0.0
+    relative_position: bool = False  # temporal rel-pos bias (attention.py:20-39)
+    temporal_length: int = 16
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -167,8 +167,27 @@ class CrossAttention(nn.Module):
                          name="to_k")(x)
             v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                          name="to_v")(x)
+            rel_k = rel_v = None
+            if self.relative_position:
+                # learned relative-position tables, xavier init
+                # (attention.py:20-39); gathered per (query, key) offset
+                L = self.temporal_length
+                init = nn.initializers.xavier_uniform()
+                tab_k = self.param("relative_position_k",
+                                   init, (2 * L + 1, self.dim_head),
+                                   jnp.float32)
+                tab_v = self.param("relative_position_v",
+                                   init, (2 * L + 1, self.dim_head),
+                                   jnp.float32)
+                t = x.shape[1]
+                qi = jnp.arange(t)[:, None]
+                ki = jnp.arange(t)[None, :]
+                idx = jnp.clip(ki - qi, -L, L) + L
+                rel_k = tab_k[idx].astype(x.dtype)     # (t, s, d)
+                rel_v = tab_v[idx].astype(x.dtype)
             out = temporal_attention_inplace(q, k, v, heads=self.heads,
-                                             mask=mask)
+                                             mask=mask, rel_k=rel_k,
+                                             rel_v=rel_v)
             out = nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
             return nn.Dropout(self.dropout,
                               deterministic=deterministic)(out)
@@ -205,12 +224,16 @@ class BasicTransformerBlock(nn.Module):
     image_branch: bool = False
     cross: bool = True
     dropout: float = 0.0
+    relative_position: bool = False
+    temporal_length: int = 16
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None, mask=None, *,
                  deterministic: bool = True):
         x = CrossAttention(self.heads, self.dim_head, dropout=self.dropout,
+                           relative_position=self.relative_position,
+                           temporal_length=self.temporal_length,
                            dtype=self.dtype, name="attn1")(
             LayerNorm(name="norm1")(x), None, mask,
             deterministic=deterministic) + x
@@ -218,6 +241,8 @@ class BasicTransformerBlock(nn.Module):
         # (temporal blocks run with context=None -> self)
         x = CrossAttention(self.heads, self.dim_head,
                            image_branch=self.image_branch,
+                           relative_position=self.relative_position,
+                           temporal_length=self.temporal_length,
                            dropout=self.dropout, dtype=self.dtype,
                            name="attn2")(
             LayerNorm(name="norm2")(x),
@@ -243,7 +268,7 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context=None, deterministic: bool = True):
         bt, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
-        h = GroupNorm(eps=1e-6, name="norm")(x)
+        h = GroupNormAct(eps=1e-6, act=False, name="norm")(x)
         h = h.reshape(bt, hh * ww, c)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
         for d in range(self.depth):
@@ -264,6 +289,7 @@ class TemporalTransformer(nn.Module):
     dim_head: int
     depth: int = 1
     causal: bool = False
+    relative_position: bool = False
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
@@ -273,12 +299,13 @@ class TemporalTransformer(nn.Module):
         # einsum so no (B*H*W, T, C) transpose materializes
         b, t, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
-        h = GroupNorm(eps=1e-6, name="norm")(x)
+        h = GroupNormAct(eps=1e-6, act=False, name="norm")(x)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
         mask = jnp.tril(jnp.ones((t, t), bool)) if self.causal else None
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.heads, self.dim_head, cross=False,
+                relative_position=self.relative_position, temporal_length=t,
                 dropout=self.dropout, dtype=self.dtype, name=f"block_{d}",
             )(h, None, mask, deterministic=deterministic)
         h = nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
@@ -327,6 +354,8 @@ class UNetModel(nn.Module):
     text_len: int = 77
     img_tokens_per_frame: int = 16
     use_checkpoint: bool = False  # per-block nn.remat (training memory)
+    use_relative_position: bool = False
+    use_causal_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -392,6 +421,8 @@ class UNetModel(nn.Module):
                    if self.use_checkpoint else TemporalTransformer)
             h5 = cls(
                 heads, self.num_head_channels, self.transformer_depth,
+                causal=self.use_causal_attention,
+                relative_position=self.use_relative_position,
                 dtype=self.dtype, name=idx_name)(h5, deterministic)
             return h5.reshape(h.shape)
 
@@ -436,8 +467,7 @@ class UNetModel(nn.Module):
                     h = Upsample(self.dtype, name=f"up_{level}")(h)
                     ds //= 2
 
-        h = GroupNorm(eps=1e-5, name="out_norm")(h)
-        h = silu(h)
+        h = GroupNormAct(eps=1e-5, name="out_norm")(h)
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
                     kernel_init=zeros_init, name="out_conv")(h)
         return h.reshape(b, t, hh, ww, self.out_channels).astype(jnp.float32)

@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tooncrafter_tpu.ops.norms import GroupNorm
+from tooncrafter_tpu.ops.norms import GroupNorm, GroupNormAct
 from tooncrafter_tpu.ops.attention import attention
 from tooncrafter_tpu.ops.resize import upsample_nearest_2x
 
@@ -42,11 +42,9 @@ class ResnetBlock(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         out_ch = self.out_channels or x.shape[-1]
         in_ch = x.shape[-1]
-        h = GroupNorm(name="norm1")(x)
-        h = swish(h)
+        h = GroupNormAct(name="norm1")(x)
         h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm(name="norm2")(h)
-        h = swish(h)
+        h = GroupNormAct(name="norm2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="conv2")(h)
         if in_ch != out_ch:
@@ -138,8 +136,7 @@ class Encoder(nn.Module):
         h = AttnBlock(self.dtype, name="mid_attn_1")(h)
         h = ResnetBlock(dropout=self.dropout, dtype=self.dtype,
                         name="mid_block_2")(h, deterministic=deterministic)
-        h = GroupNorm(name="norm_out")(h)
-        h = swish(h)
+        h = GroupNormAct(name="norm_out")(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
         h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="conv_out")(h)
         if return_hidden_states:
@@ -189,8 +186,7 @@ class Decoder(nn.Module):
                 upsample=(i_level != 0), dropout=self.dropout,
                 dtype=self.dtype, name=f"up_{i_level}",
             )(h, deterministic=deterministic)
-        h = GroupNorm(name="norm_out")(h)
-        h = swish(h)
+        h = GroupNormAct(name="norm_out")(h)
         h = nn.Conv(self.out_ch, (3, 3), dtype=self.dtype, name="conv_out")(h)
         if self.tanh_out:
             h = jnp.tanh(h)

@@ -34,7 +34,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tooncrafter_tpu.ops.norms import GroupNorm, LayerNorm
+from tooncrafter_tpu.ops.norms import (GroupNorm, GroupNormAct,
+                                        LayerNorm)
 from tooncrafter_tpu.ops.attention import attention
 from tooncrafter_tpu.models.vae import (AttnBlock, ResnetBlock, Upsample,
                                         swish)
@@ -63,11 +64,9 @@ class TemporalResStack(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         c = x.shape[-1]
-        h = GroupNorm(eps=1e-5, name="in_norm")(x)
-        h = swish(h)
+        h = GroupNormAct(eps=1e-5, name="in_norm")(x)
         h = nn.Conv(c, (3, 1, 1), dtype=self.dtype, name="in_conv")(h)
-        h = GroupNorm(eps=1e-5, name="out_norm")(h)
-        h = swish(h)
+        h = GroupNormAct(eps=1e-5, name="out_norm")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(c, (3, 1, 1), dtype=self.dtype, kernel_init=zeros_init,
                     name="out_conv")(h)
@@ -226,8 +225,7 @@ class DualRefVideoDecoder(nn.Module):
                 flat = Upsample(self.dtype, name=f"up_{i_level}_upsample")(flat)
                 h = flat.reshape((b, t) + flat.shape[1:])
 
-        h = GroupNorm(name="norm_out")(h)
-        h = swish(h)
+        h = GroupNormAct(name="norm_out")(h)
         if ref_context is not None:
             h = Combiner(self.dtype, name="inject_out")(h, ref_context[-1])
         h = AE3DConv(self.out_ch, dtype=self.dtype, name="conv_out")(h)

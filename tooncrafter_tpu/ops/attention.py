@@ -69,11 +69,15 @@ def attention(q, k, v, *, heads: int, bias=None, mask=None, scale=None,
 
 
 def temporal_attention_inplace(q, k, v, *, heads: int, mask=None,
-                               scale: Optional[float] = None):
+                               scale: Optional[float] = None,
+                               rel_k=None, rel_v=None):
     """Self-attention over the T axis of (B, T, H, W, heads*D) tensors,
     expressed as einsums so XLA folds the layout change into the matmuls
     instead of materializing the (B*H*W, T, C) transpose the reference
-    layout implies (attention.py:365-412)."""
+    layout implies (attention.py:365-412).
+
+    rel_k/rel_v: optional (T, T, D) relative-position tables; added to the
+    logits / output exactly like attention.py:104-124."""
     b, t, hh, ww, inner = q.shape
     d = inner // heads
     scale = d ** -0.5 if scale is None else scale
@@ -82,10 +86,18 @@ def temporal_attention_inplace(q, k, v, *, heads: int, mask=None,
     vh = v.reshape(b, t, hh, ww, heads, d)
     logits = jnp.einsum("bthwnd,bshwnd->bhwnts", qh, kh,
                         preferred_element_type=jnp.float32) * scale
+    if rel_k is not None:
+        logits = logits + jnp.einsum(
+            "bthwnd,tsd->bhwnts", qh, rel_k,
+            preferred_element_type=jnp.float32) * scale
     if mask is not None:  # (t, s) bool
         logits = jnp.where(mask[None, None, None, None],
                            logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhwnts,bshwnd->bthwnd", probs, vh,
                      preferred_element_type=jnp.float32).astype(v.dtype)
+    if rel_v is not None:
+        out = out + jnp.einsum("bhwnts,tsd->bthwnd", probs, rel_v,
+                               preferred_element_type=jnp.float32
+                               ).astype(v.dtype)
     return out.reshape(b, t, hh, ww, inner)

@@ -59,6 +59,26 @@ class GroupNorm(nn.Module):
         return group_norm(x, weight, bias, self.num_groups, self.eps)
 
 
+class GroupNormAct(nn.Module):
+    """GroupNorm optionally fused with SiLU through the Pallas kernel
+    (ops/fused_norms.py); numerically identical to GroupNorm followed by
+    swish, with one HBM pass on TPU. Param names match torch."""
+
+    num_groups: int = 32
+    eps: float = 1e-6
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from tooncrafter_tpu.ops.fused_norms import group_norm_silu
+
+        c = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_silu(x, weight, bias, self.num_groups, self.eps,
+                               self.act)
+
+
 class LayerNorm(nn.Module):
     """LayerNorm over the last axis with fp32 statistics (torch param names)."""
 

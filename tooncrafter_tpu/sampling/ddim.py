@@ -61,12 +61,19 @@ def ddim_sample(
     rng: jax.Array,
     guidance: GuidanceConfig,
     temperature: float = 1.0,
+    mask: Optional[jax.Array] = None,   # broadcastable to x; 1 = keep x0
+    x0: Optional[jax.Array] = None,
+    clean_cond: bool = False,
 ) -> jax.Array:
     """Run the full DDIM loop; returns denoised latents (B,T,h,w,C).
 
     `denoiser(x, t, context, fs)` is the UNet apply closed over params; it
     receives the CFG-batched tensors. `contexts` stacks the guidance
     branches in evaluation order: [uncond, (uncond_img,) cond].
+
+    mask/x0 latent blending (ddim.py:173-180): at every step the masked
+    region is replaced with the original latent — clean (clean_cond=True)
+    or noised to the step's marginal via q_sample.
     """
     n = guidance.num_branches
     b = x_T.shape[0]
@@ -90,6 +97,14 @@ def ddim_sample(
         x, rng = carry
         t_idx, a_t, a_prev, sigma, rescale = per_step
         rng, nrng = jax.random.split(rng)
+
+        if mask is not None:
+            assert x0 is not None, "mask blending requires x0"
+            rng, mrng = jax.random.split(rng)
+            t_b0 = jnp.full((x.shape[0],), t_idx, jnp.int32)
+            orig = x0 if clean_cond else sched.q_sample(
+                x0, t_b0, jax.random.normal(mrng, x.shape, x.dtype))
+            x = orig * mask + (1.0 - mask) * x
 
         xin = jnp.tile(x, (n,) + (1,) * (x.ndim - 1))
         xin = jnp.concatenate([xin, concat_n], axis=-1)

@@ -113,6 +113,12 @@ def _cross_attention(entries, jp, tp, image_branch=False):
     if image_branch:
         _dense(entries, jp + ("to_k_ip",), tp + ".to_k_ip", bias=False)
         _dense(entries, jp + ("to_v_ip",), tp + ".to_v_ip", bias=False)
+    # optional temporal relative-position tables (attention.py:20-39);
+    # skipped automatically when the model topology doesn't have them
+    entries.append((jp + ("relative_position_k",),
+                    tp + ".relative_position_k.embeddings_table", t_none))
+    entries.append((jp + ("relative_position_v",),
+                    tp + ".relative_position_v.embeddings_table", t_none))
 
 
 def _transformer_block(entries, jp, tp, image_branch=False):
