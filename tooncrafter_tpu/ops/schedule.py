@@ -118,11 +118,14 @@ def make_ddim_sampling_parameters(
 # --------------------------------------------------------------------------
 
 def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale=0.0):
-    """Rescale the CFG-combined prediction toward the text branch's std."""
+    """Rescale the CFG-combined prediction toward the text branch's std.
+
+    Guarded against a zero-variance prediction (e.g. a zero-init model):
+    the reference's raw division produces NaN there."""
     axes = tuple(range(1, noise_pred_text.ndim))
     std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
     std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
-    rescaled = noise_cfg * (std_text / std_cfg)
+    rescaled = noise_cfg * (std_text / jnp.maximum(std_cfg, 1e-12))
     return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
 
 
