@@ -49,8 +49,36 @@ def _use_kernel(sq: int, sk: int, d: int) -> bool:
             and _pick_block(sq) > 0 and _pick_block(sk) > 0)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q, k, v, scale: Optional[float] = None):
-    """q,k,v: (B, S, H, D) -> (B, Sq, H, D)."""
+    """q,k,v: (B, S, H, D) -> (B, Sq, H, D).
+
+    Differentiable: the backward pass recomputes through the XLA attention
+    formulation (the fused backward kernel is future work; training is
+    typically memory- not attention-bound here)."""
+    return _flash_fwd_impl(q, k, v, scale)
+
+
+def _flash_fwd(q, k, v, scale):
+    return _flash_fwd_impl(q, k, v, scale), (q, k, v)
+
+
+def _flash_bwd(scale, res, g):
+    from tooncrafter_tpu.ops.attention import dot_product_attention
+
+    q, k, v = res
+    d = q.shape[-1]
+    s = d ** -0.5 if scale is None else scale
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: dot_product_attention(q_, k_, v_, scale=s),
+        q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _flash_fwd_impl(q, k, v, scale: Optional[float] = None):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     if scale is None:
