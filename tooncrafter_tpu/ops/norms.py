@@ -26,18 +26,31 @@ def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-6):
     n = x.shape[0]
     c = x.shape[-1]
     assert c % num_groups == 0, (c, num_groups)
-    xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
-    # single-pass statistics: E[x] and E[x^2] reduce in one read of x (XLA
-    # fuses both into one pass) instead of the two-pass mean/centered-var,
-    # halving the norm's HBM traffic — norms are ~20% of UNet step time
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    mean_sq = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True)
-    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-    inv = jax.lax.rsqrt(var + eps)
-    # fold scale into inv and bias so the apply is one fused multiply-add
-    xf = (xf - mean) * inv
-    out = xf.reshape(x.shape) * scale.astype(jnp.float32) \
-        + bias.astype(jnp.float32)
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    count = 1
+    for a in spatial_axes:
+        count *= x.shape[a]
+    count *= c // num_groups
+    # two-stage statistics keeping the channel axis minor throughout:
+    # (1) per-channel spatial sums — a layout-friendly reduce over the
+    #     major dims (reducing the grouped 4D reshape directly measured
+    #     ~10x below HBM bandwidth on TPU);
+    # (2) fold channels into groups on the tiny (N, C) tensor.
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=spatial_axes)            # (N, C)
+    s2 = jnp.sum(jnp.square(xf), axis=spatial_axes)
+    s1 = jnp.sum(s1.reshape(n, num_groups, -1), axis=-1)    # (N, G)
+    s2 = jnp.sum(s2.reshape(n, num_groups, -1), axis=-1)
+    mean_g = s1 / count
+    var_g = jnp.maximum(s2 / count - jnp.square(mean_g), 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast back to channels and fold the affine: y = x*A + B
+    mean_c = jnp.repeat(mean_g, c // num_groups, axis=1)    # (N, C)
+    inv_c = jnp.repeat(inv_g, c // num_groups, axis=1)
+    a_c = inv_c * scale.astype(jnp.float32)[None]
+    b_c = bias.astype(jnp.float32)[None] - mean_c * a_c
+    bshape = (n,) + (1,) * len(spatial_axes) + (c,)
+    out = xf * a_c.reshape(bshape) + b_c.reshape(bshape)
     return out.astype(orig_dtype)
 
 
