@@ -53,9 +53,9 @@ def _use_kernel(sq: int, sk: int, d: int) -> bool:
 def flash_attention(q, k, v, scale: Optional[float] = None):
     """q,k,v: (B, S, H, D) -> (B, Sq, H, D).
 
-    Differentiable: the backward pass recomputes through the XLA attention
-    formulation (the fused backward kernel is future work; training is
-    typically memory- not attention-bound here)."""
+    Differentiable: the backward runs the blockwise flash-backward Pallas
+    kernels (O(S) memory — no SqxSk score matrix materializes), with an XLA
+    fallback for shapes the kernels don't tile."""
     return _flash_fwd_impl(q, k, v, scale)
 
 
@@ -64,11 +64,17 @@ def _flash_fwd(q, k, v, scale):
 
 
 def _flash_bwd(scale, res, g):
+    q, k, v = res
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    s = d ** -0.5 if scale is None else scale
+    if (_on_tpu() or _INTERPRET) and _use_kernel(sq, sk, d):
+        fold = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, t.shape[1], d)
+        unfold = lambda t, sl: t.reshape(b, h, sl, d).transpose(0, 2, 1, 3)
+        dq, dk, dv = _flash_bwd_bh(fold(q), fold(k), fold(v), fold(g), s)
+        return unfold(dq, sq), unfold(dk, sk), unfold(dv, sk)
     from tooncrafter_tpu.ops.attention import dot_product_attention
 
-    q, k, v = res
-    d = q.shape[-1]
-    s = d ** -0.5 if scale is None else scale
     _, vjp = jax.vjp(
         lambda q_, k_, v_: dot_product_attention(q_, k_, v_, scale=s),
         q, k, v)
@@ -76,6 +82,136 @@ def _flash_bwd(scale, res, g):
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _flash_bwd_bh(q, k, v, dout, scale: float):
+    """Blockwise flash attention backward for (BH, S, D) operands.
+
+    Standard formulation (Dao 2022): recompute p = exp(qk*scale - lse) per
+    block; D = rowsum(dout*out);
+      dv = p^T dout;  ds = p * (dout v^T - D);  dq = ds k * scale;
+      dk = ds^T q * scale.
+    Two kernels: one grids over q-blocks (dq), one over kv-blocks (dk, dv).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    blk_q = _pick_block(sq)
+    blk_k = _pick_block(sk)
+    n_q = sq // blk_q
+    n_k = sk // blk_k
+
+    # recompute lse + D in one cheap pass via the forward kernel + XLA
+    out, lse = _flash_bh_with_lse(q, k, v, scale)
+    dmat = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
+                   axis=-1, keepdims=True)                    # (BH, Sq, 1)
+
+    def dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dq_ref, acc):
+        kv_i = pl.program_id(2)
+
+        @pl.when(kv_i == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        qb = q_ref[0]
+        kb = k_ref[0]
+        vb = v_ref[0]
+        dob = do_ref[0].astype(jnp.float32)
+        s_ = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s_ - lse_ref[0])                          # (bq, bk)
+        dp = jax.lax.dot_general(dob.astype(vb.dtype), vb,
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - d_ref[0])                              # (bq, bk) fp32
+        acc[:] += jax.lax.dot_general(
+            ds.astype(kb.dtype), kb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        @pl.when(kv_i == n_k - 1)
+        def _():
+            dq_ref[0] = acc[:].astype(dq_ref.dtype)
+
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, blk_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, blk_q, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, blk_q, 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_INTERPRET,
+    )(q, k, v, dout, lse, dmat)
+
+    def dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
+                   dk_ref, dv_ref, acc_k, acc_v):
+        q_i = pl.program_id(2)
+
+        @pl.when(q_i == 0)
+        def _():
+            acc_k[:] = jnp.zeros_like(acc_k)
+            acc_v[:] = jnp.zeros_like(acc_v)
+
+        qb = q_ref[0]
+        kb = k_ref[0]
+        vb = v_ref[0]
+        dob = do_ref[0].astype(jnp.float32)
+        s_ = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s_ - lse_ref[0])                          # (bq, bk)
+        acc_v[:] += jax.lax.dot_general(
+            p.astype(dob.dtype), dob, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (bk, d)
+        dp = jax.lax.dot_general(dob.astype(vb.dtype), vb,
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - d_ref[0])
+        acc_k[:] += jax.lax.dot_general(
+            ds.astype(qb.dtype), qb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale       # (bk, d)
+
+        @pl.when(q_i == n_q - 1)
+        def _():
+            dk_ref[0] = acc_k[:].astype(dk_ref.dtype)
+            dv_ref[0] = acc_v[:].astype(dv_ref.dtype)
+
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, n_k, n_q),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, blk_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, blk_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, blk_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, blk_q, 1), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, blk_q, 1), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, blk_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, blk_k, d), lambda b, j, i: (b, j, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((blk_k, d), jnp.float32),
+                        pltpu.VMEM((blk_k, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_INTERPRET,
+    )(q, k, v, dout, lse, dmat)
+    return dq, dk, dv
 
 
 def _flash_fwd_impl(q, k, v, scale: Optional[float] = None):
@@ -99,6 +235,14 @@ def _flash_fwd_impl(q, k, v, scale: Optional[float] = None):
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _flash_bh(q, k, v, scale: float):
     """(BH, Sq, D) x (BH, Sk, D) flash attention via Pallas."""
+    out, _ = _flash_bh_with_lse(q, k, v, scale)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _flash_bh_with_lse(q, k, v, scale: float):
+    """Flash attention forward that also emits the per-row logsumexp
+    (needed by the blockwise backward)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -109,7 +253,7 @@ def _flash_bh(q, k, v, scale: float):
     n_q = pl.cdiv(sq, blk_q)
     n_k = pl.cdiv(sk, blk_k)
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref):
+    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref):
         kv_i = pl.program_id(2)
 
         @pl.when(kv_i == 0)
@@ -143,9 +287,10 @@ def _flash_bh(q, k, v, scale: float):
         @pl.when(kv_i == n_k - 1)
         def _finish():
             o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+            lse_ref[0] = m_ref[:, :1] + jnp.log(l_ref[:, :1])
 
     grid = (bh, n_q, n_k)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -153,8 +298,14 @@ def _flash_bh(q, k, v, scale: float):
             pl.BlockSpec((1, blk_k, d), lambda b_, i, j: (b_, j, 0)),
             pl.BlockSpec((1, blk_k, d), lambda b_, i, j: (b_, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, blk_q, d), lambda b_, i, j: (b_, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, blk_q, d), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, blk_q, 1), lambda b_, i, j: (b_, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq, 1), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((blk_q, d), jnp.float32),
             pltpu.VMEM((blk_q, 128), jnp.float32),
@@ -165,4 +316,4 @@ def _flash_bh(q, k, v, scale: float):
         ),
         interpret=_INTERPRET,
     )(q, k, v)
-    return out
+    return out, lse
