@@ -49,14 +49,9 @@ def main():
         # benchmark-valid synthetic weights: runtime is independent of
         # parameter values, and one jitted fill avoids a 2.5B-param
         # initializer program
-        shapes = model.param_shapes()
+        from tooncrafter_tpu.utils.synth import synth_params
 
-        @jax.jit
-        def synth():
-            return jax.tree_util.tree_map(
-                lambda s: jnp.full(s.shape, 0.02, jnp.bfloat16), shapes)
-
-        params = synth()
+        params = synth_params(model.param_shapes())
     else:
         params = model.init_params(rng)
 
