@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import argparse
 import glob
-import json
 import os
 import time
 
@@ -95,8 +94,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from tooncrafter_tpu.config import model_config_from_yaml
-    from tooncrafter_tpu.models.diffusion import (ModelConfig, ToonCrafter,
-                                                  middle_frame_splice)
+    from tooncrafter_tpu.models.diffusion import ModelConfig, ToonCrafter
     from tooncrafter_tpu.sampling.ddim import GuidanceConfig
     from tooncrafter_tpu.utils.tokenizer import ClipTokenizer
     from tooncrafter_tpu.utils.video_io import write_video

@@ -15,7 +15,6 @@ import argparse
 import dataclasses
 import os
 import signal
-import time
 
 
 def get_parser():

@@ -11,7 +11,7 @@ modules.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import yaml
 

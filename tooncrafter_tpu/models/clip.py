@@ -21,8 +21,6 @@ checkpoint converter is a direct copy.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -21,11 +21,10 @@ cross-attn tokens) matches the reference exactly, including:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tooncrafter_tpu.models.clip import (CLIPTextTower, CLIPVisionTower,
                                          clip_preprocess)

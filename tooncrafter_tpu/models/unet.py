@@ -25,7 +25,7 @@ not here.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -33,8 +33,7 @@ import jax.numpy as jnp
 
 from tooncrafter_tpu.ops.attention import (attention,
                                            temporal_attention_inplace)
-from tooncrafter_tpu.ops.norms import (GroupNorm, GroupNormAct,
-                                        LayerNorm)
+from tooncrafter_tpu.ops.norms import GroupNormAct, LayerNorm
 from tooncrafter_tpu.ops.resize import upsample_nearest_2x
 from tooncrafter_tpu.ops.schedule import timestep_embedding
 

@@ -18,7 +18,7 @@ expressed as explicit (0,1) edge padding.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

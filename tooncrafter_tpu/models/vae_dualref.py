@@ -34,11 +34,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tooncrafter_tpu.ops.norms import (GroupNorm, GroupNormAct,
-                                        LayerNorm)
+from tooncrafter_tpu.ops.norms import GroupNorm, GroupNormAct
 from tooncrafter_tpu.ops.attention import attention
-from tooncrafter_tpu.models.vae import (AttnBlock, ResnetBlock, Upsample,
-                                        swish)
+from tooncrafter_tpu.models.vae import AttnBlock, ResnetBlock, Upsample
 
 zeros_init = nn.initializers.zeros
 

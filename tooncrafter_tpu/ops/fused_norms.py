@@ -18,8 +18,6 @@ VMEM (the full-res VAE decoder).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -86,7 +84,6 @@ def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps, silu):
                    static_argnames=("num_groups", "eps", "silu"))
 def _pallas_gn(x, scale, bias, num_groups: int, eps: float, silu: bool):
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     n = x.shape[0]
     c = x.shape[-1]

@@ -17,7 +17,7 @@ over `data` and leave params replicated (or TP-sharded on `model`).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import numpy as np

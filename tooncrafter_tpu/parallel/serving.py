@@ -10,10 +10,7 @@ the mesh-native counterpart of the reference's rank-sharded prompt list
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 
 from tooncrafter_tpu.parallel import mesh as M
 

@@ -18,7 +18,7 @@ ddim_multiplecond.py (:226-236), with the TPU-native restructuring:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -163,8 +163,6 @@ def ddim_decode_from(
     """Run the DDIM loop from step t_start (exclusive) down to 0 —
     the sampler's `decode` path (ddim.py:281-301) used for img2img-style
     editing after `stochastic_encode`."""
-    import dataclasses as _dc
-
     sub = DDIMSchedule(
         timesteps=ddim.timesteps[:t_start],
         alphas=ddim.alphas[:t_start],

@@ -9,9 +9,7 @@ tree restorable by inference.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
-
-import jax
+from typing import Optional
 
 
 def _mgr(ckpt_dir: str, keep: int = 3):

@@ -21,14 +21,13 @@ the psum over gradients compiles to an ICI all-reduce.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from tooncrafter_tpu.models.diffusion import ToonCrafter
-from tooncrafter_tpu.ops import schedule as S
 
 
 @dataclasses.dataclass(frozen=True)

@@ -9,7 +9,7 @@ work" split the reference uses, minus the torch dependency.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
