@@ -102,6 +102,8 @@ def model_config_from_dict(cfg: Dict[str, Any]) -> ModelConfig:
         fs_condition=unet.get("fs_condition", True),
         default_fs=unet.get("default_fs", 24),
         use_checkpoint=unet.get("use_checkpoint", False),
+        image_cross_attention_scale_learnable=unet.get(
+            "image_cross_attention_scale_learnable", False),
         use_relative_position=unet.get("use_relative_position", False),
         use_causal_attention=unet.get("use_causal_attention", False),
         vae_ch=dd.get("ch", 128),

@@ -68,6 +68,7 @@ class ModelConfig:
     context_dim: int = 1024
     fs_condition: bool = True
     default_fs: int = 24
+    image_cross_attention_scale_learnable: bool = False
     use_checkpoint: bool = False  # remat UNet blocks during training
     use_relative_position: bool = False
     use_causal_attention: bool = False
@@ -139,6 +140,8 @@ class ToonCrafter:
             context_dim=c.context_dim, temporal_length=c.video_length,
             fs_condition=c.fs_condition, default_fs=c.default_fs,
             img_tokens_per_frame=c.resampler_queries,
+            image_cross_attention_scale_learnable=(
+                c.image_cross_attention_scale_learnable),
             use_checkpoint=c.use_checkpoint,
             use_relative_position=c.use_relative_position,
             use_causal_attention=c.use_causal_attention, dtype=dt)

@@ -144,6 +144,7 @@ class CrossAttention(nn.Module):
     dim_head: int
     image_branch: bool = False
     ip_scale: float = 1.0
+    ip_scale_learnable: bool = False  # attention.py:77-78,139-141
     text_len: int = 77
     dropout: float = 0.0
     relative_position: bool = False  # temporal rel-pos bias (attention.py:20-39)
@@ -204,7 +205,12 @@ class CrossAttention(nn.Module):
             v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                             name="to_v_ip")(ctx_img)
             out_ip = attention(q, k_ip, v_ip, heads=self.heads)
-            out = out + self.ip_scale * out_ip
+            scale_ip = self.ip_scale
+            if self.ip_scale_learnable:
+                alpha = self.param("alpha", nn.initializers.zeros, (),
+                                   jnp.float32)
+                scale_ip = scale_ip * (jnp.tanh(alpha) + 1.0)
+            out = out + scale_ip * out_ip
         else:
             if not self_attn:
                 ctx = ctx[:, :self.text_len]
@@ -221,6 +227,7 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     dim_head: int
     image_branch: bool = False
+    ip_scale_learnable: bool = False
     cross: bool = True
     dropout: float = 0.0
     relative_position: bool = False
@@ -240,6 +247,7 @@ class BasicTransformerBlock(nn.Module):
         # (temporal blocks run with context=None -> self)
         x = CrossAttention(self.heads, self.dim_head,
                            image_branch=self.image_branch,
+                           ip_scale_learnable=self.ip_scale_learnable,
                            relative_position=self.relative_position,
                            temporal_length=self.temporal_length,
                            dropout=self.dropout, dtype=self.dtype,
@@ -260,6 +268,7 @@ class SpatialTransformer(nn.Module):
     dim_head: int
     depth: int = 1
     image_branch: bool = True
+    ip_scale_learnable: bool = False
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
@@ -273,6 +282,7 @@ class SpatialTransformer(nn.Module):
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.heads, self.dim_head, image_branch=self.image_branch,
+                ip_scale_learnable=self.ip_scale_learnable,
                 dropout=self.dropout, dtype=self.dtype, name=f"block_{d}",
             )(h, context, deterministic=deterministic)
         h = nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
@@ -346,6 +356,7 @@ class UNetModel(nn.Module):
     context_dim: int = 1024
     temporal_length: int = 16
     image_cross_attention: bool = True
+    image_cross_attention_scale_learnable: bool = False
     addition_attention: bool = True
     fs_condition: bool = True
     default_fs: int = 24
@@ -410,8 +421,9 @@ class UNetModel(nn.Module):
                    if self.use_checkpoint else SpatialTransformer)
             return cls(
                 heads, self.num_head_channels, self.transformer_depth,
-                image_branch=self.image_cross_attention, dtype=self.dtype,
-                name=idx_name)(h, ctx, deterministic)
+                image_branch=self.image_cross_attention,
+                ip_scale_learnable=self.image_cross_attention_scale_learnable,
+                dtype=self.dtype, name=idx_name)(h, ctx, deterministic)
 
         def temporal(idx_name, ch, h, heads=None):
             heads = heads or ch // self.num_head_channels

@@ -113,6 +113,8 @@ def _cross_attention(entries, jp, tp, image_branch=False):
     if image_branch:
         _dense(entries, jp + ("to_k_ip",), tp + ".to_k_ip", bias=False)
         _dense(entries, jp + ("to_v_ip",), tp + ".to_v_ip", bias=False)
+        # learnable image-branch scale (attention.py:77-78); optional
+        entries.append((jp + ("alpha",), tp + ".alpha", t_none))
     # optional temporal relative-position tables (attention.py:20-39);
     # skipped automatically when the model topology doesn't have them
     entries.append((jp + ("relative_position_k",),
