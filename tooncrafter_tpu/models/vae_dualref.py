@@ -130,7 +130,10 @@ class FusionCrossAttention(nn.Module):
         # x: (B,T,H,W,C); context: (B,2,H,W,C)
         b, t, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
-        h = GroupNorm(name="norm")(x)
+        # per-frame GroupNorm: the reference normalizes the folded
+        # (B*T, C, H, W) view (autoencoder_dualref.py:277-278), so statistics
+        # must not span T.
+        h = GroupNorm(name="norm")(x.reshape(b * t, hh, ww, c))
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(
             h.reshape(b, t * hh * ww, c))
         ctx = context.reshape(b, 2 * context.shape[2] * context.shape[3], c)
@@ -223,7 +226,11 @@ class DualRefVideoDecoder(nn.Module):
                 flat = Upsample(self.dtype, name=f"up_{i_level}_upsample")(flat)
                 h = flat.reshape((b, t) + flat.shape[1:])
 
-        h = GroupNormAct(name="norm_out")(h)
+        # per-frame norm_out: the reference's Decoder.forward normalizes the
+        # folded (B*T, C, H, W) view (autoencoder_dualref.py:518-519).
+        flat, _, _ = _fold(h)
+        flat = GroupNormAct(name="norm_out")(flat)
+        h = flat.reshape((b, t) + flat.shape[1:])
         if ref_context is not None:
             h = Combiner(self.dtype, name="inject_out")(h, ref_context[-1])
         h = AE3DConv(self.out_ch, dtype=self.dtype, name="conv_out")(h)

@@ -43,12 +43,20 @@ def t_conv1x1(w):
     return np.ascontiguousarray(np.transpose(w[:, :, 0, 0]))
 
 
+def t_conv1d1(w):
+    """Conv1d kernel-size-1 (O,I,1) -> Dense (I,O)."""
+    return np.ascontiguousarray(np.transpose(w[:, :, 0]))
+
+
 def t_conv3d(w):
     return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))
 
 
 def t_none(w):
-    return np.ascontiguousarray(w)
+    # note: np.ascontiguousarray promotes 0-dim scalars (e.g. the learnable
+    # image-cross-attention `alpha`, attention.py:78) to shape (1,) — reshape
+    # back to preserve the torch shape exactly
+    return np.ascontiguousarray(w).reshape(np.shape(w))
 
 
 # ---------------------------------------------------------------------------
@@ -134,18 +142,28 @@ def _transformer_block(entries, jp, tp, image_branch=False):
     _dense(entries, jp + ("ff", "out"), tp + ".ff.net.2")
 
 
-def _spatial_transformer(entries, jp, tp, depth=1, image_branch=True):
+def _spatial_transformer(entries, jp, tp, depth=1, image_branch=True,
+                         linear_proj=True):
     _norm(entries, jp + ("norm",), tp + ".norm")
-    _dense(entries, jp + ("proj_in",), tp + ".proj_in")
-    _dense(entries, jp + ("proj_out",), tp + ".proj_out")
+    if linear_proj:
+        _dense(entries, jp + ("proj_in",), tp + ".proj_in")
+        _dense(entries, jp + ("proj_out",), tp + ".proj_out")
+    else:
+        # use_linear=False -> Conv1d(k=1) projections (attention.py:333-336);
+        # the UNet's init_attn is built without use_linear
+        # (openaimodel3d.py:390-399)
+        for n in ("proj_in", "proj_out"):
+            entries.append((jp + (n, "kernel"), f"{tp}.{n}.weight", t_conv1d1))
+            entries.append((jp + (n, "bias"), f"{tp}.{n}.bias", t_none))
     for d in range(depth):
         _transformer_block(entries, jp + (f"block_{d}",),
                            tp + f".transformer_blocks.{d}",
                            image_branch=image_branch)
 
 
-def _temporal_transformer(entries, jp, tp, depth=1):
-    _spatial_transformer(entries, jp, tp, depth, image_branch=False)
+def _temporal_transformer(entries, jp, tp, depth=1, linear_proj=True):
+    _spatial_transformer(entries, jp, tp, depth, image_branch=False,
+                         linear_proj=linear_proj)
 
 
 def _unet_resblock(entries, jp, tp, temporal=True):
@@ -175,7 +193,8 @@ def unet_mapping(channel_mult=(1, 2, 4, 4), num_res_blocks=2,
         _dense(e, (f"time_embed_{idx}",), f"{p}.time_embed.{idx}")
         _dense(e, (f"fps_embedding_{idx}",), f"{p}.fps_embedding.{idx}")
     _conv(e, ("input_conv",), f"{p}.input_blocks.0.0")
-    _temporal_transformer(e, ("init_attn",), f"{p}.init_attn.0")
+    _temporal_transformer(e, ("init_attn",), f"{p}.init_attn.0",
+                          linear_proj=False)
 
     tb = 1
     ds = 1
