@@ -1,0 +1,166 @@
+"""Activation parity vs the reference VAE towers.
+
+Covers the encoder with hidden-state taps (ae_modules.py:432-475), the plain
+decoder (ae_modules.py:478-591), and the dual-reference VideoDecoder
+(autoencoder_dualref.py:489-527) — all converted through the production
+checkpoint converter from real torch state dicts.
+"""
+
+import numpy as np
+import pytest
+
+from tests.parity import refutil
+from tests.parity.refutil import (assert_close, convert_tower, state_dict_np,
+                                  t2j_img)
+
+refutil.setup_reference()
+
+import torch  # noqa: E402
+
+from lvdm.modules.networks import ae_modules as ref_ae  # noqa: E402
+from lvdm.models import autoencoder_dualref as ref_dual  # noqa: E402
+
+from tooncrafter_tpu.models.diffusion import ModelConfig, ToonCrafter  # noqa: E402
+
+B, T = 1, 4
+RES = 32  # pixel resolution; latents at /8 = 4x4
+
+
+def _rand(*shape, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(*shape).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ModelConfig().tiny(video_length=T, latent_h=RES // 8,
+                              latent_w=RES // 8)
+
+
+def _dezero(module):
+    with torch.no_grad():
+        for p in module.parameters():
+            if p.abs().max() == 0:
+                p.uniform_(-0.05, 0.05)
+
+
+def test_vae_encoder_taps_parity(cfg):
+    """Encoder + quant_conv, incl. the 5 hidden-state taps and the
+    asymmetric (0,1) downsample padding."""
+    torch.manual_seed(0)
+    enc = ref_ae.Encoder(
+        ch=cfg.vae_ch, out_ch=3, ch_mult=list(cfg.vae_ch_mult),
+        num_res_blocks=cfg.vae_num_res_blocks, attn_resolutions=[],
+        dropout=0.0, in_channels=3, resolution=RES,
+        z_channels=cfg.z_channels, double_z=True).eval()
+    quant = torch.nn.Conv2d(2 * cfg.z_channels, 2 * cfg.z_channels, 1)
+
+    model = ToonCrafter(cfg)
+    sd = {**state_dict_np(enc, "first_stage_model.encoder"),
+          **state_dict_np(quant, "first_stage_model.quant_conv")}
+    params = convert_tower(sd, cfg, "vae", model=model)
+
+    x = _rand(B * T, 3, RES, RES, seed=1)
+    with torch.no_grad():
+        h_t, taps_t = enc(torch.from_numpy(x), return_hidden_states=True)
+        moments_t = quant(h_t)
+
+    from tooncrafter_tpu.models.vae import AutoencoderKL
+    moments_j, taps_j = model.vae.apply(
+        {"params": params}, np.transpose(x, (0, 2, 3, 1)),
+        return_hidden_states=True, method=AutoencoderKL.encode)
+
+    assert_close(moments_j, t2j_img(moments_t), tol=1e-4, name="moments")
+    assert len(taps_j) == len(taps_t) == len(cfg.vae_ch_mult) + 1
+    for i, (tj, tt) in enumerate(zip(taps_j, taps_t)):
+        assert_close(tj, t2j_img(tt), tol=1e-4, name=f"tap{i}")
+
+
+def test_vae_plain_decoder_parity(cfg):
+    """Plain SD decoder (DynamiCrafter-style path, incl. post_quant_conv)."""
+    torch.manual_seed(0)
+    dec = ref_ae.Decoder(
+        ch=cfg.vae_ch, out_ch=3, ch_mult=list(cfg.vae_ch_mult),
+        num_res_blocks=cfg.vae_num_res_blocks, attn_resolutions=[],
+        dropout=0.0, in_channels=3, resolution=RES,
+        z_channels=cfg.z_channels).eval()
+    post_quant = torch.nn.Conv2d(cfg.z_channels, cfg.z_channels, 1)
+
+    model = ToonCrafter(cfg)
+    sd = {**state_dict_np(dec, "first_stage_model.decoder"),
+          **state_dict_np(post_quant, "first_stage_model.post_quant_conv")}
+    params = convert_tower(sd, cfg, "vae", model=model)
+
+    z = _rand(B * T, cfg.z_channels, RES // 8, RES // 8, seed=2)
+    with torch.no_grad():
+        out_t = dec(post_quant(torch.from_numpy(z)))
+
+    from tooncrafter_tpu.models.vae import AutoencoderKL
+    out_j = model.vae.apply({"params": params},
+                            np.transpose(z, (0, 2, 3, 1)),
+                            method=AutoencoderKL.decode)
+    assert_close(out_j, t2j_img(out_t), tol=2e-4, name="plain_decode")
+
+
+def test_dualref_video_decoder_parity(cfg):
+    """Dual-reference VideoDecoder (conv-only mode): VideoResBlock
+    alpha-merge, AE3DConv, fusion cross-attention at levels {2,3}, zero-init
+    Combiners at {0,1} + final, per-frame norms."""
+    torch.manual_seed(0)
+    dec = ref_dual.VideoDecoder(
+        ch=cfg.vae_ch, out_ch=3, ch_mult=list(cfg.vae_ch_mult),
+        num_res_blocks=cfg.vae_num_res_blocks, attn_resolutions=[],
+        dropout=0.0, in_channels=3, resolution=RES,
+        z_channels=cfg.z_channels, attn_level=list(cfg.dualref_attn_level),
+        video_kernel_size=[3, 1, 1], time_mode="conv-only").eval()
+    _dezero(dec)  # zero-init Combiners/fusion-out would hide the injections
+    with torch.no_grad():  # spread the alpha-merges away from 0.5
+        for name, p in dec.named_parameters():
+            if name.endswith("mix_factor"):
+                p.uniform_(-1.0, 1.0)
+
+    model = ToonCrafter(cfg)
+    sd = state_dict_np(dec, "first_stage_model.decoder")
+    params = convert_tower(sd, cfg, "dualref_decoder", model=model)
+
+    z = _rand(B * T, cfg.z_channels, RES // 8, RES // 8, seed=3)
+    taps = model._tap_shapes(RES, RES)
+    refs_j = [_rand(B, 2, th, tw, tc, seed=10 + i)
+              for i, (th, tw, tc) in enumerate(taps)]
+    # torch wants (B, C, 2, H, W)
+    refs_t = [torch.from_numpy(np.transpose(r, (0, 4, 1, 2, 3)))
+              for r in refs_j]
+
+    with torch.no_grad():
+        out_t = dec(torch.from_numpy(z), ref_context=refs_t, timesteps=T)
+
+    z_j = np.transpose(z, (0, 2, 3, 1)).reshape(
+        B, T, RES // 8, RES // 8, cfg.z_channels)
+    out_j = model.dualref_decoder.apply({"params": params}, z_j, refs_j)
+    out_t_j = t2j_img(out_t).reshape(B, T, RES, RES, 3)
+    assert_close(out_j, out_t_j, tol=3e-4, name="dualref_decode")
+
+
+def test_dualref_decoder_no_refs_parity(cfg):
+    """ref_context=None path (no injection at all)."""
+    torch.manual_seed(1)
+    dec = ref_dual.VideoDecoder(
+        ch=cfg.vae_ch, out_ch=3, ch_mult=list(cfg.vae_ch_mult),
+        num_res_blocks=cfg.vae_num_res_blocks, attn_resolutions=[],
+        dropout=0.0, in_channels=3, resolution=RES,
+        z_channels=cfg.z_channels, attn_level=list(cfg.dualref_attn_level),
+        video_kernel_size=[3, 1, 1], time_mode="conv-only").eval()
+    _dezero(dec)
+
+    model = ToonCrafter(cfg)
+    sd = state_dict_np(dec, "first_stage_model.decoder")
+    params = convert_tower(sd, cfg, "dualref_decoder", model=model)
+
+    z = _rand(B * T, cfg.z_channels, RES // 8, RES // 8, seed=4)
+    with torch.no_grad():
+        out_t = dec(torch.from_numpy(z), ref_context=None, timesteps=T)
+    z_j = np.transpose(z, (0, 2, 3, 1)).reshape(
+        B, T, RES // 8, RES // 8, cfg.z_channels)
+    out_j = model.dualref_decoder.apply({"params": params}, z_j, None)
+    out_t_j = t2j_img(out_t).reshape(B, T, RES, RES, 3)
+    assert_close(out_j, out_t_j, tol=3e-4, name="dualref_no_refs")
