@@ -19,10 +19,19 @@ definitions; the stubs only fill the import graph:
 
 from __future__ import annotations
 
+import importlib.machinery
 import sys
 import types
 
 import numpy as np
+
+
+def _stub_module(name: str) -> types.ModuleType:
+    m = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec works on the stub
+    # (transformers probes optional deps that way)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return m
 
 REF_PATH = "/root/reference"
 _installed = False
@@ -36,8 +45,8 @@ def setup_reference():
     import torch
 
     if "xformers" not in sys.modules:
-        xf = types.ModuleType("xformers")
-        ops = types.ModuleType("xformers.ops")
+        xf = _stub_module("xformers")
+        ops = _stub_module("xformers.ops")
 
         def memory_efficient_attention(q, k, v, attn_bias=None, op=None):
             assert attn_bias is None
@@ -54,17 +63,17 @@ def setup_reference():
         sys.modules["xformers.ops"] = ops
 
     if "pytorch_lightning" not in sys.modules:
-        pl = types.ModuleType("pytorch_lightning")
+        pl = _stub_module("pytorch_lightning")
         pl.LightningModule = torch.nn.Module
-        util = types.ModuleType("pytorch_lightning.utilities")
+        util = _stub_module("pytorch_lightning.utilities")
         util.rank_zero_only = lambda fn: fn
         pl.utilities = util
         sys.modules["pytorch_lightning"] = pl
         sys.modules["pytorch_lightning.utilities"] = util
 
     if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tvu = types.ModuleType("torchvision.utils")
+        tv = _stub_module("torchvision")
+        tvu = _stub_module("torchvision.utils")
         tvu.make_grid = None
         tv.utils = tvu
         sys.modules["torchvision"] = tv
