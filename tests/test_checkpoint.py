@@ -33,6 +33,9 @@ def _inverse_shape(fn, shape):
     if fn is CK.t_conv1x1:
         i, o = shape
         return (o, i, 1, 1)
+    if fn is CK.t_conv1d1:
+        i, o = shape
+        return (o, i, 1)
     if fn is CK.t_conv3d:
         kt, kh, kw, i, o = shape
         return (o, i, kt, kh, kw)
@@ -109,6 +112,10 @@ def test_transforms_invert_torch_layouts():
     assert CK.t_conv1x1(w).shape == (4, 8)
     w = np.zeros((8, 4, 3, 1, 1), np.float32)                # torch Conv3d
     assert CK.t_conv3d(w).shape == (3, 1, 1, 4, 8)
+    w = np.zeros((8, 4, 1), np.float32)                      # torch Conv1d k=1
+    assert CK.t_conv1d1(w).shape == (4, 8)
+    w = np.float32(0.25)                                     # 0-dim scalar
+    assert CK.t_none(w).shape == ()
 
 
 def test_dialect_normalization_deepspeed_prefix():

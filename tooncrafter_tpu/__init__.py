@@ -15,5 +15,3 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
-
-from tooncrafter_tpu.dtypes import Policy, default_policy  # noqa: F401

@@ -147,7 +147,8 @@ def main(argv=None):
     jpipe = Pipeline(
         model, ddim_steps=args.ddim_steps, eta=args.ddim_eta,
         spacing=args.timestep_spacing, guidance=guidance,
-        mode="interp" if (args.interp or args.loop) else "repeat")
+        mode="interp" if (args.interp or args.loop) else "repeat",
+        perframe_ae=args.perframe_ae)
     os.makedirs(os.path.join(args.savedir, "samples_separate"),
                 exist_ok=True)
     for idx in range(sel.start or 0, sel.stop or len(prompts)):

@@ -27,9 +27,15 @@ def get_parser():
     p.add_argument("--max_steps", type=int, default=100000)
     p.add_argument("--ckpt_every", type=int, default=1000)
     p.add_argument("--sample_every", type=int, default=500)
+    p.add_argument("--val_every", type=int, default=1000)
     p.add_argument("--seed", type=int, default=20230211)
     p.add_argument("--pretrained_ckpt", type=str, default=None,
                    help="torch ckpt to warm-start from (any dialect)")
+    p.add_argument("--ignore_keys", type=str, default="",
+                   help="comma-separated torch-key prefixes to drop from "
+                        "the pretrained ckpt (ddpm3d.py:204-220)")
+    p.add_argument("--only_model", action="store_true",
+                   help="load only the denoiser weights from the ckpt")
     p.add_argument("--bpe_path", type=str, default=None)
     p.add_argument("--n_model_shards", type=int, default=1)
     return p
@@ -81,23 +87,43 @@ def main(argv=None):
                             num_workers=dcfg.get("num_workers", 4),
                             seed=args.seed)
 
+    # optional validation split (reference validation_step, ddpm3d.py:399-406)
+    val_d = dcfg.get("validation", {}).get("params", {})
+    val_loader = None
+    if val_d.get("meta_path"):
+        val_ds = WebVidDataset(
+            meta_path=val_d["meta_path"],
+            data_dir=val_d.get("data_dir", train_d.get("data_dir", "")),
+            video_length=val_d.get("video_length", cfg.video_length),
+            frame_stride=val_d.get("frame_stride", 6),
+            resolution=val_d.get("resolution", [cfg.latent_h * 8,
+                                                cfg.latent_w * 8]),
+            fps_max=val_d.get("fps_max"), fixed_fps=val_d.get("fixed_fps"))
+        val_loader = PrefetchLoader(val_ds, bs, tokenizer=tokenizer,
+                                    num_workers=2, seed=args.seed + 1)
+
     # ---- mesh / params / optimizer ----
     mesh = M.make_mesh(n_model=args.n_model_shards)
     n_chips = len(jax.devices())
     lr = base_lr * bs * n_chips  # trainer.py:88-93 scaling rule
+    mp = raw.get("model", {}).get("params", {})
     tcfg = T.TrainConfig(
         learning_rate=lr,
-        uncond_prob=raw.get("model", {}).get("params", {}).get(
-            "uncond_prob", 0.05),
-        rand_cond_frame=raw.get("model", {}).get("params", {}).get(
-            "rand_cond_frame", True))
+        uncond_prob=mp.get("uncond_prob", 0.05),
+        rand_cond_frame=mp.get("rand_cond_frame", True),
+        # reference scheduler YAML (`scheduler_config`, ddpm3d.py:1015-1039)
+        scheduler=mp.get("scheduler_config"))
+    lr_of_step = tcfg.lr_schedule()
 
     rng = jax.random.PRNGKey(args.seed)
     params = model.init_params(rng)
     if args.pretrained_ckpt:
         from tooncrafter_tpu.utils.checkpoint import load_checkpoint
 
-        params, report = load_checkpoint(args.pretrained_ckpt, cfg, params)
+        ik = tuple(k for k in args.ignore_keys.split(",") if k)
+        params, report = load_checkpoint(args.pretrained_ckpt, cfg, params,
+                                         ignore_keys=ik,
+                                         only_model=args.only_model)
         print(f"warm start: {len(report['missing'])} missing, "
               f"{len(report.get('filled_from_init', []))} filled from init")
 
@@ -112,6 +138,7 @@ def main(argv=None):
         train_params=jax.device_put(
             state.train_params, M.shard_params(state.train_params, mesh)))
     step_fn = jax.jit(T.make_train_step(model, opt, tcfg))
+    val_fn = jax.jit(T.make_val_step(model, tcfg))
     sampler_log = CB.VideoSampleLogger(model, workdir,
                                        every_steps=args.sample_every)
     tracker = CB.ThroughputTracker(bs)
@@ -144,16 +171,32 @@ def main(argv=None):
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics.update(tracker.step())
             metrics.update(CB.device_memory_stats())
-            metrics["lr"] = lr
+            metrics["lr"] = float(lr_of_step(step))
             logger.log(step, metrics)
             if step % 50 == 0:
                 print(f"step {step}: loss={metrics['loss']:.4f} "
                       f"({metrics.get('samples_per_sec', 0):.2f} samples/s)")
-            full_params = {**state.train_params, **state.frozen_params}
+            # sampled-video probe runs with EMA weights (reference ImageLogger
+            # samples inside ema_scope, ddpm3d.py:192-202)
             rng, sub = jax.random.split(rng)
-            out = sampler_log.maybe_log(step, full_params, probe, sub)
+            out = sampler_log.maybe_log(step, T.eval_param_tree(state),
+                                        probe, sub)
             if out:
                 print(f"sampled video -> {out}")
+            if val_loader is not None and step % args.val_every == 0:
+                vb = next(iter(val_loader))
+                vjb = {
+                    "video": jnp.asarray(vb["video"]),
+                    "tokens": jnp.asarray(vb["tokens"]),
+                    "null_tokens": jnp.asarray(vb["null_tokens"]),
+                    "fs": jnp.asarray(vb["fs"]),
+                }
+                vjb = jax.device_put(vjb, M.batch_sharding(mesh))
+                rng, sub = jax.random.split(rng)
+                vm = {k: float(v) for k, v in val_fn(state, vjb, sub).items()}
+                logger.log(step, vm)
+                print(f"step {step}: " + " ".join(
+                    f"{k}={v:.4f}" for k, v in vm.items()))
             if step % args.ckpt_every == 0 or want_ckpt["now"]:
                 CKPT.save_train_state(ckpt_dir, step, state)
                 want_ckpt["now"] = False

@@ -84,6 +84,7 @@ def model_config_from_dict(cfg: Dict[str, Any]) -> ModelConfig:
         rescale_betas_zero_snr=p.get("rescale_betas_zero_snr", True),
         parameterization=p.get("parameterization", "v"),
         scale_factor=p.get("scale_factor", 0.18215),
+        uncond_type=p.get("uncond_type", "empty_seq"),
         use_dynamic_rescale=p.get("use_dynamic_rescale", True),
         base_scale=p.get("base_scale", 0.7),
         video_length=unet.get("temporal_length", 16),

@@ -42,7 +42,19 @@ class WebVidDataset:
         self.resolution = tuple(resolution)
         self.fps_max = fps_max
         self.fixed_fps = fixed_fps
-        self.rng = random.Random(seed)
+        self.seed = seed
+        # random.Random is not thread-safe and PrefetchLoader calls
+        # __getitem__ from several worker threads — give each thread its own
+        # deterministic stream
+        self._tls = threading.local()
+
+    @property
+    def rng(self) -> random.Random:
+        r = getattr(self._tls, "rng", None)
+        if r is None:
+            r = random.Random(f"{self.seed}:{threading.get_ident()}")
+            self._tls.rng = r
+        return r
 
     def __len__(self):
         return len(self.meta)
@@ -109,6 +121,7 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.drop_last = drop_last
+        self._epoch = 0
 
     def _collate(self, samples: List[Dict]) -> Dict[str, np.ndarray]:
         batch = {
@@ -125,7 +138,10 @@ class PrefetchLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = list(range(len(self.ds)))
-        random.Random(self.seed).shuffle(order)
+        # reshuffle per epoch (the reference's PL loader reshuffles every
+        # epoch); deterministic given (seed, epoch)
+        random.Random(f"{self.seed}:{self._epoch}").shuffle(order)
+        self._epoch += 1
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         lock = threading.Lock()

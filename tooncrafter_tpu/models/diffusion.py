@@ -49,6 +49,7 @@ class ModelConfig:
     rescale_betas_zero_snr: bool = True
     parameterization: str = "v"
     scale_factor: float = 0.18215
+    uncond_type: str = "empty_seq"  # 'empty_seq' | 'zero_embed'
     use_dynamic_rescale: bool = True
     base_scale: float = 0.7
     turning_step: int = 400
@@ -224,14 +225,31 @@ class ToonCrafter:
     # ------------------------------------------------------------------
 
     def encode_first_stage(self, params, video, rng=None,
-                           sample_posterior: bool = True):
+                           sample_posterior: bool = True,
+                           chunk_size: Optional[int] = None):
         """video: (B, T, H, W, 3) in [-1,1] -> (z: (B,T,h,w,4) scaled,
-        ref taps: list of (B,2,H_l,W_l,C_l) first/last-frame features)."""
+        ref taps: list of (B,2,H_l,W_l,C_l) first/last-frame features).
+
+        chunk_size bounds how many frames the encoder sees at once — the
+        `perframe_ae` memory path (ddpm3d.py:630-640; the reference encodes
+        one frame at a time). The encoder is per-frame, so chunking is
+        numerically identical."""
         b, t = video.shape[:2]
         flat = video.reshape((b * t,) + video.shape[2:])
-        moments, taps = self.vae.apply(
-            {"params": params["vae"]}, flat, return_hidden_states=True,
-            method=AutoencoderKL.encode)
+
+        def enc(x):
+            return self.vae.apply(
+                {"params": params["vae"]}, x, return_hidden_states=True,
+                method=AutoencoderKL.encode)
+
+        if chunk_size is None or flat.shape[0] <= chunk_size:
+            moments, taps = enc(flat)
+        else:
+            parts = [enc(flat[i:i + chunk_size])
+                     for i in range(0, flat.shape[0], chunk_size)]
+            moments = jnp.concatenate([p[0] for p in parts], axis=0)
+            taps = [jnp.concatenate([p[1][l] for p in parts], axis=0)
+                    for l in range(len(parts[0][1]))]
         post = DiagonalGaussian(moments)
         z = post.sample(rng) if (sample_posterior and rng is not None) \
             else post.mode()
@@ -274,12 +292,28 @@ class ToonCrafter:
         return ddim_sample(denoiser, self.schedule, ddim, x_T, contexts,
                            concat, fs, rng, guidance, temperature)
 
-    def decode_first_stage(self, params, z, refs):
+    def decode_first_stage(self, params, z, refs,
+                           chunk_size: Optional[int] = None):
         """z: (B,T,h,w,4) scaled latents -> video (B,T,H,W,3); dual-ref
-        decode with post_quant_conv skipped."""
+        decode with post_quant_conv skipped.
+
+        chunk_size decodes in temporal chunks like the reference's
+        `perframe_ae` decode_core (ddpm3d.py:647-679: chunks of
+        temporal_length frames, each a fresh timesteps=len(chunk) decode
+        with the same first/last-frame refs) — required for T > 16 and the
+        memory-constrained path."""
         z = z / self.config.scale_factor
-        return self.dualref_decoder.apply(
-            {"params": params["dualref_decoder"]}, z, refs)
+
+        def dec(zc):
+            return self.dualref_decoder.apply(
+                {"params": params["dualref_decoder"]}, zc, refs)
+
+        t = z.shape[1]
+        if chunk_size is None or t <= chunk_size:
+            return dec(z)
+        return jnp.concatenate(
+            [dec(z[:, i:i + chunk_size])
+             for i in range(0, t, chunk_size)], axis=1)
 
     def decode_plain(self, params, z):
         """Non-dualref decode path (DynamiCrafter-style single-image mode)."""
@@ -302,7 +336,8 @@ class Pipeline:
     def __init__(self, model: ToonCrafter, ddim_steps: int = 50,
                  eta: float = 1.0, spacing: str = "uniform_trailing",
                  guidance: Optional["GuidanceConfig"] = None,
-                 mode: str = "interp", use_splice: bool = True):
+                 mode: str = "interp", use_splice: bool = True,
+                 perframe_ae: bool = False):
         from tooncrafter_tpu.sampling.ddim import GuidanceConfig as GC
 
         self.model = model
@@ -310,19 +345,30 @@ class Pipeline:
         self.mode = mode
         self.use_splice = use_splice
         self._ddim = dict(ddim_steps=ddim_steps, eta=eta, spacing=spacing)
+        # perframe_ae: chunk the VAE passes like the reference
+        # (ddpm3d.py:630-679) — per-frame encode, temporal_length-frame
+        # chunked decode
+        self._enc_chunk = 1 if perframe_ae else None
+        self._dec_chunk = model.config.video_length if perframe_ae else None
 
         m = model
 
         @jax.jit
         def encode(params, video, rng):
-            z, refs = m.encode_first_stage(params, video, rng=rng)
+            z, refs = m.encode_first_stage(params, video, rng=rng,
+                                           chunk_size=self._enc_chunk)
             concat = m.build_concat_cond(z, self.mode)
             return z, refs, concat
 
         @jax.jit
         def conditioning(params, tokens, null_tokens, frame0):
             text = m.encode_text(params, tokens)
-            uc_text = m.encode_text(params, null_tokens)
+            # uncond text branch: empty-prompt embedding or plain zeros
+            # (inference.py:206-210 / config `uncond_type`)
+            if m.config.uncond_type == "zero_embed":
+                uc_text = jnp.zeros_like(text)
+            else:
+                uc_text = m.encode_text(params, null_tokens)
             img = m.encode_image_context(params, frame0)
             uc_img = m.encode_image_context(params, jnp.zeros_like(frame0))
             cond = jnp.concatenate([text, img], axis=1)
@@ -343,7 +389,8 @@ class Pipeline:
 
         @jax.jit
         def decode(params, samples, refs):
-            return m.decode_first_stage(params, samples, refs)
+            return m.decode_first_stage(params, samples, refs,
+                                        chunk_size=self._dec_chunk)
 
         self._encode = encode
         self._conditioning = conditioning
@@ -351,10 +398,14 @@ class Pipeline:
         self._decode = decode
 
     def __call__(self, params, video, tokens, null_tokens, fs, rng):
-        z, refs, concat = self._encode(params, video, rng)
+        # distinct keys per phase: _encode consumes its key in the VAE
+        # posterior sample; reusing it for the denoise noise would correlate
+        # the two streams
+        enc_rng, den_rng = jax.random.split(rng)
+        z, refs, concat = self._encode(params, video, enc_rng)
         contexts = self._conditioning(params, tokens, null_tokens,
                                       video[:, 0])
-        samples = self._denoise(params, z, contexts, concat, fs, rng)
+        samples = self._denoise(params, z, contexts, concat, fs, den_rng)
         full = self._decode(params, samples, refs)
         if not self.use_splice:
             return full

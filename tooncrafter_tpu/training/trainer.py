@@ -40,6 +40,16 @@ class TrainConfig:
     scale_lr_by_batch: bool = False  # reference: lr = ngpu*bs*base_lr
     rand_cond_frame: bool = True
     grad_accum: int = 1
+    # reference scheduler YAML block (ddpm3d.py:1015-1039); resolved through
+    # training/lr_schedule.from_config. None -> constant learning_rate.
+    scheduler: Optional[dict] = None
+
+    def lr_schedule(self) -> optax.Schedule:
+        from tooncrafter_tpu.training.lr_schedule import from_config
+
+        if self.scheduler is None:
+            return optax.constant_schedule(self.learning_rate)
+        return from_config(self.learning_rate, self.scheduler)
 
 
 TRAINABLE = ("unet", "image_proj")
@@ -52,7 +62,7 @@ def split_trainable(params):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    tx = optax.adamw(cfg.lr_schedule(), weight_decay=cfg.weight_decay)
     parts = []
     if cfg.grad_clip > 0:
         parts.append(optax.clip_by_global_norm(cfg.grad_clip))
@@ -73,7 +83,7 @@ def ema_update(ema_params, new_params, step, decay: float = 0.9999):
 
 def diffusion_loss(model: ToonCrafter, train_params, frozen_params, batch,
                    rng, uncond_prob: float = 0.05,
-                   rand_cond_frame: bool = True):
+                   rand_cond_frame: bool = True, train: bool = True):
     """batch: {'video': (B,T,H,W,3) in [-1,1], 'tokens': (B,77) int32,
     'null_tokens': (B,77), 'fs': (B,)}.
 
@@ -125,8 +135,8 @@ def diffusion_loss(model: ToonCrafter, train_params, frozen_params, batch,
     unet_in = jnp.concatenate([x_noisy, concat], axis=-1)
     pred = model.unet.apply(
         {"params": params["unet"]}, unet_in, ts.astype(jnp.float32), context,
-        batch["fs"].astype(jnp.float32), deterministic=False,
-        rngs={"dropout": rngs[5]})
+        batch["fs"].astype(jnp.float32), deterministic=not train,
+        rngs={"dropout": rngs[5]} if train else None)
 
     loss_simple = jnp.mean(jnp.square(pred - target), axis=(1, 2, 3, 4))
     loss = jnp.mean(loss_simple)
@@ -158,6 +168,37 @@ def make_train_state(model: ToonCrafter, params, cfg: TrainConfig,
         else None,
     )
     return state, opt
+
+
+def eval_param_tree(state: "TrainState", use_ema: bool = True):
+    """The reference's `ema_scope` (lvdm/ema.py:14-76, ddpm3d.py:192-202):
+    evaluate with the EMA shadow swapped in. Functionally there is nothing to
+    store/restore — just assemble the full tree from the shadow."""
+    train = state.ema_params if (use_ema and state.ema_params is not None) \
+        else state.train_params
+    return {**train, **state.frozen_params}
+
+
+def make_val_step(model: ToonCrafter, cfg: TrainConfig):
+    """Jittable validation step: val loss with raw weights and (when an EMA
+    shadow exists) with EMA weights — reference validation_step
+    (ddpm3d.py:399-406)."""
+
+    def val_fn(state: TrainState, batch, rng):
+        loss, _ = diffusion_loss(model, state.train_params,
+                                 state.frozen_params, batch, rng,
+                                 cfg.uncond_prob, cfg.rand_cond_frame,
+                                 train=False)
+        metrics = {"val/loss": loss}
+        if state.ema_params is not None:
+            loss_ema, _ = diffusion_loss(model, state.ema_params,
+                                         state.frozen_params, batch, rng,
+                                         cfg.uncond_prob, cfg.rand_cond_frame,
+                                         train=False)
+            metrics["val/loss_ema"] = loss_ema
+        return metrics
+
+    return val_fn
 
 
 def make_train_step(model: ToonCrafter, opt, cfg: TrainConfig):

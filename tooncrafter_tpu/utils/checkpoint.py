@@ -63,10 +63,22 @@ def t_none(w):
 # dialect normalization
 # ---------------------------------------------------------------------------
 
-def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+def load_torch_state_dict(path: str,
+                          allow_pickle: bool = False) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint as numpy arrays (host-side only).
+
+    weights_only=True by default — a .ckpt is externally supplied content and
+    full unpickling executes arbitrary code. Pass allow_pickle=True only for
+    trusted legacy checkpoints that predate the weights-only format.
+    """
     import torch  # host-side unpickling only
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if "state_dict" in sd:
         sd = sd["state_dict"]
     elif "module" in sd:
@@ -524,11 +536,23 @@ def merge_with_template(converted: Dict, template: Dict):
 
 
 def load_checkpoint(path: str, config, template: Optional[Dict] = None,
-                    strict: bool = False):
+                    strict: bool = False, allow_pickle: bool = False,
+                    ignore_keys=(), only_model: bool = False):
     """One-call torch .ckpt -> JAX params (merged over the init template
-    when one is provided)."""
-    params, report = convert_state_dict(load_torch_state_dict(path), config,
-                                        template, strict)
+    when one is provided).
+
+    ignore_keys/only_model mirror the reference's partial-load controls
+    (ddpm3d.py:204-220): drop tensors whose torch key starts with any
+    ignore_keys prefix; only_model keeps just the denoiser
+    (`model.diffusion_model.*`) weights."""
+    sd = load_torch_state_dict(path, allow_pickle=allow_pickle)
+    if ignore_keys:
+        sd = {k: v for k, v in sd.items()
+              if not any(k.startswith(ik) for ik in ignore_keys)}
+    if only_model:
+        sd = {k: v for k, v in sd.items()
+              if k.startswith("model.diffusion_model.")}
+    params, report = convert_state_dict(sd, config, template, strict)
     if template is not None:
         params, filled = merge_with_template(params, template)
         report["filled_from_init"] = filled
