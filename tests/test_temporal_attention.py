@@ -1,0 +1,75 @@
+"""Pallas temporal-attention kernel vs the einsum reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tooncrafter_tpu.ops import temporal_attention as ta
+from tooncrafter_tpu.ops.attention import temporal_attention_inplace
+
+
+def _ref(q, k, v, heads, scale):
+    b, p, t, inner = q.shape
+    d = inner // heads
+    qh = q.reshape(b, p, t, heads, d).astype(jnp.float32)
+    kh = k.reshape(b, p, t, heads, d).astype(jnp.float32)
+    vh = v.reshape(b, p, t, heads, d).astype(jnp.float32)
+    logits = jnp.einsum("bptnd,bpsnd->bpnts", qh, kh) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bpnts,bpsnd->bptnd", probs, vh)
+    return out.reshape(b, p, t, inner)
+
+
+@pytest.mark.parametrize("shape,heads", [
+    ((2, 128, 16, 128), 2),
+    ((1, 160, 16, 64), 1),     # ds=4-like P
+    ((1, 256, 4, 256), 4),     # short T
+])
+def test_kernel_matches_reference(shape, heads):
+    b, p, t, inner = shape
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], shape, jnp.float32)
+    k = jax.random.normal(ks[1], shape, jnp.float32)
+    v = jax.random.normal(ks[2], shape, jnp.float32)
+    d = inner // heads
+    ref = _ref(q, k, v, heads, d ** -0.5)
+    old = ta._INTERPRET
+    ta._INTERPRET = True
+    try:
+        got = ta.temporal_attention_ptc(q, k, v, heads=heads,
+                                        scale=d ** -0.5)
+    finally:
+        ta._INTERPRET = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_dispatch_conditions():
+    # masked / rel-pos / tiny-P shapes must NOT take the kernel
+    assert not ta.use_kernel(16, 2560, 64, mask=jnp.ones((16, 16), bool))
+    assert not ta.use_kernel(16, 2560, 64, rel_k=jnp.zeros((16, 16, 64)))
+    assert not ta.use_kernel(16, 40, 64)    # mid-block P — einsum path
+    assert not ta.use_kernel(64, 2560, 64)  # T too long to unroll
+    assert not ta.use_kernel(16, 2560, 40)  # init_attn head_dim
+
+
+def test_temporal_transformer_fast_path_matches_einsum():
+    """Full TemporalTransformer: (B,P,T,C) kernel layout vs the in-place
+    einsum layout, same params."""
+    from tooncrafter_tpu.models.unet import TemporalTransformer
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 16, 128),
+                          jnp.float32)
+    mod = TemporalTransformer(heads=2, dim_head=64)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    ref = mod.apply(params, x)
+    old = ta._INTERPRET
+    ta._INTERPRET = True
+    try:
+        assert ta.use_kernel(8, 128, 64)
+        got = mod.apply(params, x)
+    finally:
+        ta._INTERPRET = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

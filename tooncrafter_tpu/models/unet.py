@@ -160,6 +160,23 @@ class CrossAttention(nn.Module):
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         out_dim = x.shape[-1]
 
+        if x.ndim == 4:
+            # temporal fast path: (B, P, T, C) layout — per-pixel attention
+            # over T through the Pallas kernel (ops/temporal_attention.py).
+            # TemporalTransformer picks this layout only when the kernel's
+            # coverage conditions hold (no mask, no rel-pos, TPU backend).
+            assert self_attn
+            from tooncrafter_tpu.ops import temporal_attention as ta
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_k")(x)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name="to_v")(x)
+            out = ta.temporal_attention_ptc(
+                q, k, v, heads=self.heads, scale=self.dim_head ** -0.5)
+            out = nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
+            return nn.Dropout(self.dropout,
+                              deterministic=deterministic)(out)
+
         if x.ndim == 5:
             # temporal in-place path: (B,T,H,W,C), attention over T
             assert self_attn
@@ -304,11 +321,21 @@ class TemporalTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        # x: (B, T, H, W, C) — kept in place; attention runs over T via
-        # einsum so no (B*H*W, T, C) transpose materializes
+        # x: (B, T, H, W, C). Two layouts for the block stack:
+        #  * fast path (TPU, no mask/rel-pos): (B, P, T, C) — one transpose
+        #    in/out; per-pixel T-attention runs in the Pallas kernel and
+        #    every projection keeps a clean tokens-major layout.
+        #  * fallback: keep (B,T,H,W,C) in place; attention over T via
+        #    einsum so no (B*H*W, T, C) transpose materializes.
+        from tooncrafter_tpu.ops import temporal_attention as ta
+
         b, t, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
+        fast = (not self.causal and not self.relative_position
+                and ta.use_kernel(t, hh * ww, self.dim_head, inner=inner))
         h = GroupNormAct(eps=1e-6, act=False, name="norm")(x)
+        if fast:
+            h = h.reshape(b, t, hh * ww, c).transpose(0, 2, 1, 3)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
         mask = jnp.tril(jnp.ones((t, t), bool)) if self.causal else None
         for d in range(self.depth):
@@ -319,6 +346,8 @@ class TemporalTransformer(nn.Module):
             )(h, None, mask, deterministic=deterministic)
         h = nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
                      name="proj_out")(h)
+        if fast:
+            h = h.transpose(0, 2, 1, 3).reshape(b, t, hh, ww, c)
         return x + h
 
 

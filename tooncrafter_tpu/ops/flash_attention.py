@@ -36,16 +36,19 @@ def _on_tpu() -> bool:
 def _pick_block(s: int) -> int:
     """Largest MXU-aligned tile that divides the sequence exactly (the
     kernel has no ragged-block masking)."""
-    for blk in (1024, 768, 640, 512, 384, 320, 256, 128):
+    for blk in (1024, 768, 640, 512, 384, 320, 256, 160, 128):
         if s % blk == 0:
             return blk
     return 0
 
 
 def _use_kernel(sq: int, sk: int, d: int) -> bool:
-    # Kernel pays off once the score matrix stops fitting in VMEM-sized
-    # tiles; small sequences are faster through one fused XLA softmax.
-    return (sq >= 1024 and sk >= 1024 and d % 128 in (0, 64) and d <= 512
+    # Covers every self-attention the model emits (h*w in {2560,640,160},
+    # dual-ref fusion 2*S): the XLA fallback materializes fp32 logits in
+    # HBM, which at >=160 tokens costs more than the kernel's one pass.
+    # Token counts below 160 (cross-attn over 77/93/16/257 ctx) stay on the
+    # XLA path — measured faster through one fused softmax.
+    return (sq >= 160 and sk >= 160 and d % 128 in (0, 64) and d <= 512
             and _pick_block(sq) > 0 and _pick_block(sk) > 0)
 
 

@@ -1,0 +1,108 @@
+"""Pallas temporal-attention kernel: softmax attention over the T axis,
+independently per pixel.
+
+The UNet's TemporalTransformer (reference `lvdm/modules/attention.py:365-412`)
+attends over T=16 tokens *per pixel*: logically a batch of B*H*W*heads tiny
+(T x T x d=64) attention problems. Those are the worst possible shapes for
+XLA on TPU — the batched einsum lowers to thousands of 16x16 matmuls, the
+fp32 softmax runs on (..., 16, 16)-minor tensors that tile at 1/8 lane
+occupancy, and the head-split reshapes materialize full copies. Profiling
+the 320x512 UNet forward put the temporal attention cores at ~48 ms for
+0.017 TFLOP (1.4 TFLOP/s).
+
+TPU-native answer: per grid step a (Ptile, T, d) block of pixels for one
+head is resident in VMEM; QK^T and PV run as pixel-batched MXU dots, the
+fp32 softmax never leaves VMEM, and q/k/v/out cross HBM exactly once.
+Measured (v5e, chained): 2.4/2.0/1.7 ms vs 4.5/2.4/1.8 ms for the einsum
+path on the ds=1/2/4 sites — and the surrounding reshape/convert/softmax
+glue disappears entirely.
+
+Layout contract: the caller runs the whole temporal transformer in
+(B, P, T, C) layout (one transpose on entry/exit of the transformer), so
+projections produce (B, P, T, inner) naturally; this module only pays one
+T<->heads swap per tensor.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_INTERPRET = False  # set True to debug off-TPU
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _pick_ptile(p: int, inner: int, t: int,
+                budget: int = 6 * 1024 * 1024) -> int:
+    """Largest pixel tile whose (pt, T, inner) bf16 block fits the VMEM
+    budget (4 blocks double-buffered under the 100 MB limit)."""
+    for blk in (512, 256, 160, 128, 64, 32, 16, 8):
+        if p % blk == 0 and t * blk * inner * 2 <= budget:
+            return blk
+    return 0
+
+
+def use_kernel(t: int, p: int, d: int, *, mask=None, rel_k=None,
+               rel_v=None, inner: int = 0) -> bool:
+    """Kernel coverage: plain self-attention (no causal mask, no
+    relative-position bias — the shipped ToonCrafter config uses neither),
+    T small enough to keep (pt, T, T) logits in VMEM, d lane-native."""
+    return (mask is None and rel_k is None and rel_v is None
+            and t <= 32 and d in (64, 128) and p >= 128
+            and _pick_ptile(p, inner or d, t) >= 64
+            and (_on_tpu() or _INTERPRET))
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale"))
+def temporal_attention_ptc(q, k, v, *, heads: int, scale: float):
+    """q,k,v: (B, P, T, heads*d) -> out (B, P, T, heads*d).
+
+    Heads stay packed in the minor axis — blocks carry the full `inner`
+    dim and each head is a static lane slice inside the kernel (measured
+    faster than splitting heads into a grid axis, which costs a
+    materialized T<->heads transpose per tensor)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, p, t, inner = q.shape
+    d = inner // heads
+    pt = _pick_ptile(p, inner, t)
+    n_p = p // pt
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            qb = q_ref[0, :, :, sl]   # (pt, T, d)
+            kb = k_ref[0, :, :, sl]
+            vb = v_ref[0, :, :, sl]
+            logits = jax.lax.dot_general(
+                qb, kb, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale  # (pt, T, T)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(vb.dtype)
+            out = jax.lax.dot_general(
+                probs, vb, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)          # (pt, T, d)
+            o_ref[0, :, :, sl] = out.astype(o_ref.dtype)
+
+    spec = pl.BlockSpec((1, pt, t, inner), lambda bi, pi: (bi, pi, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_p),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, p, t, inner), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(q, k, v)
