@@ -92,6 +92,30 @@ def main():
     times.sort()
     p50 = times[len(times) // 2]
 
+    # throughput (clips/min/chip): the BASELINE config also tracks batched
+    # serving throughput, not just single-clip latency — measure a B=2
+    # pipeline (CFG-batched UNet runs at batch 4)
+    tput_b2 = 0.0
+    if full:
+        video2 = jnp.concatenate([video, video], 0)
+        tokens2 = jnp.concatenate([tokens, tokens], 0)
+        fs2 = jnp.concatenate([fs, fs], 0)
+
+        def run2(key):
+            out = pipe(params, video2, tokens2, tokens2, fs2, key)
+            return float(jnp.mean(out.astype(jnp.float32)))
+
+        log("batch-2 warmup starting")
+        run2(jax.random.PRNGKey(7))
+        log("batch-2 warmup done")
+        t2s = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            run2(jax.random.PRNGKey(8 + i))
+            t2s.append(time.perf_counter() - t0)
+            log(f"batch-2 run {i}: {t2s[-1]:.2f}s")
+        tput_b2 = 2 * 60.0 / min(t2s)
+
     metric = ("clip_latency_320x512x16_ddim50_s" if full
               else "clip_latency_tiny_cpu_s")
     vs = BASELINE_S / p50 if full else 0.0
@@ -100,6 +124,8 @@ def main():
         "value": round(p50, 3),
         "unit": "s",
         "vs_baseline": round(vs, 3),
+        "clips_per_min_chip": round(60.0 / p50, 3) if full else 0.0,
+        "clips_per_min_chip_b2": round(tput_b2, 3),
     }))
 
 

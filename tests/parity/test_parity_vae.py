@@ -164,3 +164,80 @@ def test_dualref_decoder_no_refs_parity(cfg):
     out_j = model.dualref_decoder.apply({"params": params}, z_j, None)
     out_t_j = t2j_img(out_t).reshape(B, T, RES, RES, 3)
     assert_close(out_j, out_t_j, tol=3e-4, name="dualref_no_refs")
+
+
+@pytest.mark.parametrize("time_mode", ["all", "attn-only"])
+def test_dualref_time_mode_variants_parity(cfg, time_mode):
+    """The non-shipped time_mode variants (autoencoder_dualref.py:1122
+    available_time_modes): 'all' swaps the mid attention for VideoBlock
+    (spatial attn + frame-position-embedded temporal transformer,
+    alpha-merged, :938-1075); 'attn-only' additionally strips the temporal
+    conv machinery from resblocks and conv_out (:1147-1176)."""
+    import dataclasses
+    import functools
+
+    # The reference's own non-conv-only wiring is broken at runtime:
+    # _make_attn (autoencoder_dualref.py:1147-1155) wraps the *function*
+    # make_time_attn in partialclass, which subclasses it -> TypeError.
+    # Patch with functools.partial (clearly the intent) so the reference's
+    # VideoBlock numerics can actually execute for comparison.
+    class FixedVideoDecoder(ref_dual.VideoDecoder):
+        def _make_attn(self):
+            if self.time_mode not in ["conv-only", "only-last-conv"]:
+                def dispatch(in_channels, attn_type="vanilla",
+                             attn_kwargs=None):
+                    # fusion injection blocks keep the regular path; only
+                    # the mid attention becomes the temporal VideoBlock
+                    if attn_type == "memory-efficient-cross-attn-fusion":
+                        return ref_dual.make_attn(
+                            in_channels, attn_type=attn_type,
+                            attn_kwargs=attn_kwargs or {})
+                    return ref_dual.VideoBlock(
+                        in_channels, alpha=self.alpha,
+                        merge_strategy=self.merge_strategy)
+                return dispatch
+            return super()._make_attn()
+
+        def _make_resblock(self):
+            # attn-only's plain ResnetBlock.forward lacks **kwargs, but
+            # Decoder.forward passes timesteps= to every block (:497-516) —
+            # also unrunnable as written; swallow extra kwargs.
+            if self.time_mode in ["attn-only", "only-last-conv"]:
+                class KwResnetBlock(ref_dual.ResnetBlock):
+                    def forward(self, x, temb, **kw):
+                        return super().forward(x, temb)
+                return KwResnetBlock
+            return super()._make_resblock()
+
+    torch.manual_seed(2)
+    dec = FixedVideoDecoder(
+        ch=cfg.vae_ch, out_ch=3, ch_mult=list(cfg.vae_ch_mult),
+        num_res_blocks=cfg.vae_num_res_blocks, attn_resolutions=[],
+        dropout=0.0, in_channels=3, resolution=RES,
+        z_channels=cfg.z_channels, attn_level=list(cfg.dualref_attn_level),
+        video_kernel_size=[3, 1, 1], time_mode=time_mode).eval()
+    _dezero(dec)
+    with torch.no_grad():
+        for name, p in dec.named_parameters():
+            if name.endswith("mix_factor"):
+                p.uniform_(-1.0, 1.0)
+
+    cfg2 = dataclasses.replace(cfg, dualref_time_mode=time_mode)
+    model = ToonCrafter(cfg2)
+    sd = state_dict_np(dec, "first_stage_model.decoder")
+    params = convert_tower(sd, cfg2, "dualref_decoder", model=model)
+
+    z = _rand(B * T, cfg.z_channels, RES // 8, RES // 8, seed=5)
+    taps = model._tap_shapes(RES, RES)
+    refs_j = [_rand(B, 2, th, tw, tc, seed=20 + i)
+              for i, (th, tw, tc) in enumerate(taps)]
+    refs_t = [torch.from_numpy(np.transpose(r, (0, 4, 1, 2, 3)))
+              for r in refs_j]
+    with torch.no_grad():
+        out_t = dec(torch.from_numpy(z), ref_context=refs_t, timesteps=T)
+
+    z_j = np.transpose(z, (0, 2, 3, 1)).reshape(
+        B, T, RES // 8, RES // 8, cfg.z_channels)
+    out_j = model.dualref_decoder.apply({"params": params}, z_j, refs_j)
+    out_t_j = t2j_img(out_t).reshape(B, T, RES, RES, 3)
+    assert_close(out_j, out_t_j, tol=3e-4, name=f"dualref_{time_mode}")

@@ -50,7 +50,7 @@ def test_small_shapes_fall_back_to_xla():
 
 
 def test_block_picker():
-    assert fa._pick_block(2560) == 640
-    assert fa._pick_block(10240) == 1024
+    assert fa._pick_block(2560) == 1280
+    assert fa._pick_block(10240) == 1280
     assert fa._pick_block(2561) == 0
     assert not fa._use_kernel(2561, 2561, 64)

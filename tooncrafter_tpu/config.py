@@ -111,6 +111,7 @@ def model_config_from_dict(cfg: Dict[str, Any]) -> ModelConfig:
         vae_ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
         vae_num_res_blocks=dd.get("num_res_blocks", 2),
         z_channels=dd.get("z_channels", 4),
+        dualref_time_mode=dd.get("time_mode", "conv-only"),
         resampler_depth=rs.get("depth", 4),
         resampler_heads=rs.get("heads", 12),
         resampler_queries=rs.get("num_queries", 16),

@@ -79,6 +79,7 @@ class ModelConfig:
     vae_num_res_blocks: int = 2
     z_channels: int = 4
     dualref_attn_level: Sequence[int] = (2, 3)
+    dualref_time_mode: str = "conv-only"  # 'all' | 'conv-only' | 'attn-only'
     # conditioning
     clip_text_width: int = 1024
     clip_text_heads: int = 16
@@ -153,7 +154,8 @@ class ToonCrafter:
         self.dualref_decoder = DualRefVideoDecoder(
             ch=c.vae_ch, ch_mult=tuple(c.vae_ch_mult),
             num_res_blocks=c.vae_num_res_blocks,
-            attn_level=tuple(c.dualref_attn_level), dtype=dt)
+            attn_level=tuple(c.dualref_attn_level),
+            time_mode=c.dualref_time_mode, dtype=dt)
         self.text_encoder = CLIPTextTower(
             width=c.clip_text_width, heads=c.clip_text_heads,
             layers=c.clip_text_layers, dtype=dt)

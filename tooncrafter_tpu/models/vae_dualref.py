@@ -34,7 +34,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tooncrafter_tpu.ops.norms import GroupNorm, GroupNormAct
+from tooncrafter_tpu.ops.norms import GroupNorm, GroupNormAct, LayerNorm
 from tooncrafter_tpu.ops.attention import attention
 from tooncrafter_tpu.models.vae import AttnBlock, ResnetBlock, Upsample
 
@@ -72,11 +72,16 @@ class TemporalResStack(nn.Module):
 
 
 class VideoResBlock(nn.Module):
-    """Spatial ResnetBlock + temporal stack, learned-alpha merged."""
+    """Spatial ResnetBlock + temporal stack, learned-alpha merged.
+
+    With `temporal=False` (the reference's `time_mode='attn-only'`,
+    autoencoder_dualref.py:1168-1176 `_make_resblock`) only the spatial
+    ResnetBlock runs — no time stack, no mix_factor parameter."""
 
     out_channels: Optional[int] = None
     dropout: float = 0.0
     alpha: float = 0.0
+    temporal: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -87,6 +92,8 @@ class VideoResBlock(nn.Module):
         flat = ResnetBlock(self.out_channels, self.dropout, self.dtype,
                            name="spatial")(flat, deterministic=deterministic)
         x = flat.reshape((b, t) + flat.shape[1:])
+        if not self.temporal:
+            return x
         x_mix = x
         x = TemporalResStack(self.dropout, self.dtype, name="time_stack")(
             x, deterministic=deterministic)
@@ -97,9 +104,13 @@ class VideoResBlock(nn.Module):
 
 
 class AE3DConv(nn.Module):
-    """2D conv per frame + temporal (3,1,1) mixing conv."""
+    """2D conv per frame + temporal (3,1,1) mixing conv.
+
+    `temporal=False` is the reference's Conv2DWrapper used under
+    `time_mode='attn-only'` (autoencoder_dualref.py:1117-1119,1162-1166)."""
 
     out_channels: int
+    temporal: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -109,6 +120,8 @@ class AE3DConv(nn.Module):
         flat = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
                        name="conv")(flat)
         y = flat.reshape((b, t) + flat.shape[1:])
+        if not self.temporal:
+            return y
         return nn.Conv(self.out_channels, (3, 1, 1), dtype=self.dtype,
                        name="time_mix_conv")(y)
 
@@ -174,6 +187,112 @@ class SpatialAttn(nn.Module):
         return flat.reshape((b, t) + flat.shape[1:])
 
 
+class SVDFeedForward(nn.Module):
+    """GEGLU feed-forward with explicit output dim (attention_svd.py
+    FeedForward with glu=True: net.0 = GEGLU proj, net.2 = Linear)."""
+
+    dim_out: int
+    mult: int = 4
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        dim = x.shape[-1]
+        h = nn.Dense(dim * self.mult * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * jax.nn.gelu(gate, approximate=False)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.Dense(self.dim_out, dtype=self.dtype, name="out")(h)
+
+
+class SVDTemporalBlock(nn.Module):
+    """VideoTransformerBlock (autoencoder_dualref.py:703-833) at its only
+    instantiation in the reference (:944-952, :1013-1021): single head,
+    d_head = C, ff_in=True, inner_dim=dim (so every residual is active),
+    self-attention for both attn1 and attn2 (context is never passed).
+
+    Input (B*T, S, C) folded frame-major like the reference, attention runs
+    over T per spatial token."""
+
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, timesteps: int, *, deterministic: bool = True):
+        bt, s, c = x.shape
+        b = bt // timesteps
+        # (b t) s c -> (b s) t c (autoencoder_dualref.py:794)
+        x = (x.reshape(b, timesteps, s, c).transpose(0, 2, 1, 3)
+             .reshape(b * s, timesteps, c))
+
+        h = LayerNorm(name="norm_in")(x)
+        x = SVDFeedForward(c, dropout=self.dropout, dtype=self.dtype,
+                           name="ff_in")(h, deterministic=deterministic) + x
+
+        def attn(name, h):
+            q = nn.Dense(c, use_bias=False, dtype=self.dtype,
+                         name=f"{name}_to_q")(h)
+            k = nn.Dense(c, use_bias=False, dtype=self.dtype,
+                         name=f"{name}_to_k")(h)
+            v = nn.Dense(c, use_bias=False, dtype=self.dtype,
+                         name=f"{name}_to_v")(h)
+            out = attention(q, k, v, heads=1)
+            return nn.Dense(c, dtype=self.dtype, name=f"{name}_to_out")(out)
+
+        x = attn("attn1", LayerNorm(name="norm1")(x)) + x
+        x = attn("attn2", LayerNorm(name="norm2")(x)) + x
+        x = SVDFeedForward(c, dropout=self.dropout, dtype=self.dtype,
+                           name="ff")(LayerNorm(name="norm3")(x),
+                                      deterministic=deterministic) + x
+
+        return (x.reshape(b, s, timesteps, c).transpose(0, 2, 1, 3)
+                .reshape(bt, s, c))
+
+
+class TimeAttnBlock(nn.Module):
+    """VideoBlock / MemoryEfficientVideoBlock (autoencoder_dualref.py:
+    938-1075, numerically identical pair): per-frame spatial attention,
+    alpha-merged with a temporal transformer over frame tokens that first
+    adds a learned frame-position embedding; used for the decoder mid
+    attention under time_mode 'all' / 'attn-only'."""
+
+    alpha: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        from tooncrafter_tpu.ops.schedule import timestep_embedding
+
+        b, t, hh, ww, c = x.shape
+        flat = x.reshape(b * t, hh, ww, c)
+        h = GroupNorm(name="norm")(flat)
+        toks = lambda a: a.reshape(b * t, hh * ww, c)
+        q = nn.Dense(c, dtype=self.dtype, name="q")(h)
+        k = nn.Dense(c, dtype=self.dtype, name="k")(h)
+        v = nn.Dense(c, dtype=self.dtype, name="v")(h)
+        att = attention(toks(q), toks(k), toks(v), heads=1)  # (b*t, s, c)
+
+        # frame-position embedding through the video_time_embed MLP
+        # (:978-985); frame index layout matches repeat('t -> b t')
+        frames = jnp.tile(jnp.arange(t, dtype=jnp.float32), b)
+        temb = timestep_embedding(frames, c).astype(self.dtype)
+        emb = nn.Dense(4 * c, dtype=self.dtype,
+                       name="video_time_embed_0")(temb)
+        emb = nn.Dense(c, dtype=self.dtype,
+                       name="video_time_embed_2")(jax.nn.silu(emb))
+        x_mix = att + emb[:, None, :]
+        x_mix = SVDTemporalBlock(dtype=self.dtype, name="time_mix_block")(
+            x_mix, t, deterministic=deterministic)
+
+        mix = self.param("mix_factor", nn.initializers.constant(self.alpha),
+                         (1,), jnp.float32)
+        a = jax.nn.sigmoid(mix).astype(att.dtype)
+        merged = a * att + (1.0 - a) * x_mix
+        out = nn.Dense(c, dtype=self.dtype, name="proj_out")(merged)
+        return x + out.reshape(b, t, hh, ww, c)
+
+
 class DualRefVideoDecoder(nn.Module):
     """conv-only VideoDecoder with dual-reference injection.
 
@@ -188,29 +307,44 @@ class DualRefVideoDecoder(nn.Module):
     num_res_blocks: int = 2
     attn_level: Sequence[int] = (2, 3)
     dropout: float = 0.0
+    time_mode: str = "conv-only"  # 'all' | 'conv-only' | 'attn-only'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z, ref_context=None, *, deterministic: bool = True):
         """z: (B,T,h,w,z_ch); ref_context: list of 5 (B,2,H_l,W_l,C_l)
         ordered [level0..level3, conv_in] like the encoder taps."""
+        assert self.time_mode in ("all", "conv-only", "attn-only"), \
+            self.time_mode  # autoencoder_dualref.py:1122 available_time_modes
+        # time_mode selects which sub-blocks get temporal machinery
+        # (autoencoder_dualref.py:1147-1176 _make_attn/_make_conv/
+        # _make_resblock)
+        time_attn = self.time_mode in ("all", "attn-only")
+        time_res = self.time_mode != "attn-only"
         b, t = z.shape[:2]
         block_in = self.ch * self.ch_mult[-1]
         flat, _, _ = _fold(z)
         flat = nn.Conv(block_in, (3, 3), dtype=self.dtype, name="conv_in")(flat)
         h = flat.reshape((b, t) + flat.shape[1:])
 
-        h = VideoResBlock(dropout=self.dropout, dtype=self.dtype,
+        h = VideoResBlock(dropout=self.dropout, temporal=time_res,
+                          dtype=self.dtype,
                           name="mid_block_1")(h, deterministic=deterministic)
-        h = SpatialAttn(self.dtype, name="mid_attn_1")(h)
-        h = VideoResBlock(dropout=self.dropout, dtype=self.dtype,
+        if time_attn:
+            h = TimeAttnBlock(dtype=self.dtype, name="mid_attn_1")(
+                h, deterministic=deterministic)
+        else:
+            h = SpatialAttn(self.dtype, name="mid_attn_1")(h)
+        h = VideoResBlock(dropout=self.dropout, temporal=time_res,
+                          dtype=self.dtype,
                           name="mid_block_2")(h, deterministic=deterministic)
 
         for i_level in reversed(range(len(self.ch_mult))):
             out_ch = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
                 h = VideoResBlock(
-                    out_ch, dropout=self.dropout, dtype=self.dtype,
+                    out_ch, dropout=self.dropout, temporal=time_res,
+                    dtype=self.dtype,
                     name=f"up_{i_level}_block_{i_block}",
                 )(h, deterministic=deterministic)
             if ref_context is not None:
@@ -233,5 +367,6 @@ class DualRefVideoDecoder(nn.Module):
         h = flat.reshape((b, t) + flat.shape[1:])
         if ref_context is not None:
             h = Combiner(self.dtype, name="inject_out")(h, ref_context[-1])
-        h = AE3DConv(self.out_ch, dtype=self.dtype, name="conv_out")(h)
+        h = AE3DConv(self.out_ch, temporal=self.time_mode != "attn-only",
+                     dtype=self.dtype, name="conv_out")(h)
         return h

@@ -36,7 +36,7 @@ def _on_tpu() -> bool:
 def _pick_block(s: int) -> int:
     """Largest MXU-aligned tile that divides the sequence exactly (the
     kernel has no ragged-block masking)."""
-    for blk in (1024, 768, 640, 512, 384, 320, 256, 160, 128):
+    for blk in (1280, 1024, 768, 640, 512, 384, 320, 256, 160, 128):
         if s % blk == 0:
             return blk
     return 0
@@ -153,7 +153,8 @@ def _flash_bwd_bh(q, k, v, dout, scale: float):
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
     )(q, k, v, dout, lse, dmat)
 
@@ -211,7 +212,8 @@ def _flash_bwd_bh(q, k, v, dout, scale: float):
         scratch_shapes=[pltpu.VMEM((blk_k, d), jnp.float32),
                         pltpu.VMEM((blk_k, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
     )(q, k, v, dout, lse, dmat)
     return dq, dk, dv
@@ -316,6 +318,7 @@ def _flash_bh_with_lse(q, k, v, scale: float):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_INTERPRET,
     )(q, k, v)

@@ -299,18 +299,64 @@ def _video_resblock(entries, jp, tp):
     entries.append((jp + ("mix_factor",), tp + ".mix_factor", t_none))
 
 
+def _svd_ff(entries, jp, tp):
+    """attention_svd FeedForward(glu=True): net.0=GEGLU(proj), net.2=Linear."""
+    _dense(entries, jp + ("proj",), tp + ".net.0.proj")
+    _dense(entries, jp + ("out",), tp + ".net.2")
+
+
+def _svd_temporal_block(entries, jp, tp):
+    """VideoTransformerBlock (autoencoder_dualref.py:703-833) with
+    ff_in=True, single head, self-attn twice."""
+    _norm(entries, jp + ("norm_in",), tp + ".norm_in")
+    _svd_ff(entries, jp + ("ff_in",), tp + ".ff_in")
+    for a in ("attn1", "attn2"):
+        for n in ("to_q", "to_k", "to_v"):
+            _dense(entries, jp + (f"{a}_{n}",), f"{tp}.{a}.{n}", bias=False)
+        _dense(entries, jp + (f"{a}_to_out",), f"{tp}.{a}.to_out.0")
+    for n in ("norm1", "norm2", "norm3"):
+        _norm(entries, jp + (n,), f"{tp}.{n}")
+    _svd_ff(entries, jp + ("ff",), tp + ".ff")
+
+
+def _time_attn_block(entries, jp, tp):
+    """VideoBlock / MemoryEfficientVideoBlock (autoencoder_dualref.py:
+    938-1075): spatial attn + video_time_embed MLP + temporal transformer
+    + mix_factor."""
+    _norm(entries, jp + ("norm",), tp + ".norm")
+    for n in ("q", "k", "v", "proj_out"):
+        _dense_from_1x1(entries, jp + (n,), f"{tp}.{n}")
+    _dense(entries, jp + ("video_time_embed_0",), tp + ".video_time_embed.0")
+    _dense(entries, jp + ("video_time_embed_2",), tp + ".video_time_embed.2")
+    entries.append((jp + ("mix_factor",), tp + ".mix_factor", t_none))
+    _svd_temporal_block(entries, jp + ("time_mix_block",),
+                        tp + ".time_mix_block")
+
+
 def dualref_decoder_mapping(ch_mult=(1, 2, 4, 4), num_res_blocks=2,
-                            attn_level=(2, 3)) -> List[Entry]:
+                            attn_level=(2, 3),
+                            time_mode="conv-only") -> List[Entry]:
     e: List[Entry] = []
     p = "first_stage_model.decoder"
+    time_attn = time_mode in ("all", "attn-only")
+    time_res = time_mode != "attn-only"
+
+    def resblock(jp, tp):
+        if time_res:
+            _video_resblock(e, jp, tp)
+        else:  # attn-only: plain spatial ResnetBlock
+            _ae_resblock(e, jp + ("spatial",), tp)
+
     _conv(e, ("conv_in",), f"{p}.conv_in")
-    _video_resblock(e, ("mid_block_1",), f"{p}.mid.block_1")
-    _ae_attn(e, ("mid_attn_1", "attn"), f"{p}.mid.attn_1")
-    _video_resblock(e, ("mid_block_2",), f"{p}.mid.block_2")
+    resblock(("mid_block_1",), f"{p}.mid.block_1")
+    if time_attn:
+        _time_attn_block(e, ("mid_attn_1",), f"{p}.mid.attn_1")
+    else:
+        _ae_attn(e, ("mid_attn_1", "attn"), f"{p}.mid.attn_1")
+    resblock(("mid_block_2",), f"{p}.mid.block_2")
     for l in reversed(range(len(ch_mult))):
         for i in range(num_res_blocks + 1):
-            _video_resblock(e, (f"up_{l}_block_{i}",),
-                            f"{p}.up.{l}.block.{i}")
+            resblock((f"up_{l}_block_{i}",), f"{p}.up.{l}.block.{i}")
         if l != 0:
             _conv(e, (f"up_{l}_upsample", "conv"),
                   f"{p}.up.{l}.upsample.conv")
@@ -327,8 +373,9 @@ def dualref_decoder_mapping(ch_mult=(1, 2, 4, 4), num_res_blocks=2,
     _dense_from_1x1(e, ("inject_out", "conv"),
                     f"{p}.attn_refinement.{len(ch_mult)}.conv")
     _conv(e, ("conv_out", "conv"), f"{p}.conv_out")
-    _conv(e, ("conv_out", "time_mix_conv"), f"{p}.conv_out.time_mix_conv",
-          nd=3)
+    if time_res:
+        _conv(e, ("conv_out", "time_mix_conv"),
+              f"{p}.conv_out.time_mix_conv", nd=3)
     return e
 
 
@@ -428,7 +475,9 @@ def resampler_mapping(depth=4) -> List[Entry]:
 # ---------------------------------------------------------------------------
 
 def is_dualref_checkpoint(sd: Dict[str, np.ndarray]) -> bool:
-    return any("time_mix_conv" in k for k in sd)
+    # time_mix_conv covers 'conv-only'/'all'; attn_refinement covers
+    # 'attn-only' (which has no temporal convs at all)
+    return any("time_mix_conv" in k or "attn_refinement" in k for k in sd)
 
 
 def full_mapping(config, dualref: bool = True) -> Dict[str, List[Entry]]:
@@ -450,7 +499,8 @@ def full_mapping(config, dualref: bool = True) -> Dict[str, List[Entry]]:
     if dualref:
         mapping["dualref_decoder"] = dualref_decoder_mapping(
             tuple(config.vae_ch_mult), config.vae_num_res_blocks,
-            tuple(config.dualref_attn_level))
+            tuple(config.dualref_attn_level),
+            getattr(config, "dualref_time_mode", "conv-only"))
     else:
         mapping["vae"] = mapping["vae"] + vae_plain_decoder_mapping(
             tuple(config.vae_ch_mult), config.vae_num_res_blocks)
