@@ -36,6 +36,8 @@ from tooncrafter_tpu.ops.attention import (attention,
 from tooncrafter_tpu.ops.norms import GroupNormAct, LayerNorm
 from tooncrafter_tpu.ops.resize import upsample_nearest_2x
 from tooncrafter_tpu.ops.schedule import timestep_embedding
+from tooncrafter_tpu.ops.spatial_conv import SpatialConv3x3
+from tooncrafter_tpu.ops.temporal_conv import TemporalConv3
 
 zeros_init = nn.initializers.zeros
 
@@ -60,13 +62,19 @@ class TemporalConvBlock(nn.Module):
         c = x.shape[-1]
         h = x
         for i, zero in ((1, False), (2, False), (3, False), (4, True)):
-            h = GroupNormAct(eps=1e-5, name=f"norm{i}")(h)
-            if i > 1:
-                h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-            h = nn.Conv(c, (3, 1, 1), dtype=self.dtype,
-                        kernel_init=zeros_init if zero else
-                        nn.initializers.lecun_normal(),
-                        name=f"conv{i}")(h)
+            norm = GroupNormAct(eps=1e-5, name=f"norm{i}")
+            conv = TemporalConv3(c, dtype=self.dtype,
+                                 kernel_init=zeros_init if zero else
+                                 nn.initializers.lecun_normal(),
+                                 name=f"conv{i}")
+            if deterministic or self.dropout == 0.0 or i == 1:
+                # GN+SiLU folds into the conv prologue (in-VMEM)
+                h = conv(h, prologue=norm(h, return_affine=True))
+            else:
+                h = norm(h)
+                h = nn.Dropout(self.dropout,
+                               deterministic=deterministic)(h)
+                h = conv(h)
         return x + h
 
 
@@ -85,17 +93,30 @@ class UNetResBlock(nn.Module):
         # x: (B*T, H, W, C); emb: (B*T, emb_ch)
         # num_frames/deterministic are positional-static for nn.remat
         out_ch = self.out_channels or x.shape[-1]
-        h = GroupNormAct(eps=1e-5, name="in_norm")(x)
-        h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="in_conv")(h)
+        in_norm = GroupNormAct(eps=1e-5, name="in_norm")
+        in_conv = SpatialConv3x3(out_ch, dtype=self.dtype, name="in_conv")
+        out_norm = GroupNormAct(eps=1e-5, name="out_norm")
+        out_conv = SpatialConv3x3(out_ch, kernel_init=zeros_init,
+                                  dtype=self.dtype, name="out_conv")
         e = nn.Dense(out_ch, dtype=self.dtype, name="emb_proj")(silu(emb))
-        h = h + e[:, None, None, :].astype(h.dtype)
-        h = GroupNormAct(eps=1e-5, name="out_norm")(h)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, kernel_init=zeros_init,
-                    name="out_conv")(h)
-        if x.shape[-1] != out_ch:
-            x = nn.Dense(out_ch, dtype=self.dtype, name="skip")(x)
-        h = x + h
+        skip = x if x.shape[-1] == out_ch else \
+            nn.Dense(out_ch, dtype=self.dtype, name="skip")(x)
+        if deterministic or self.dropout == 0.0:
+            # inference hot path: each GN+SiLU folds into its conv's
+            # prologue (one HBM round-trip each); the temb add is folded
+            # analytically into out_norm's affine (never materialized) and
+            # the skip-add rides the second conv's epilogue.
+            h = in_conv(x, prologue=in_norm(x, return_affine=True))
+            aff = out_norm(h, shift=e, return_affine=True)
+            h = out_conv(h, prologue=aff, residual=skip)
+        else:
+            # training path keeps dropout between SiLU and conv, exactly
+            # like the reference (openaimodel3d.py:210-236)
+            h = in_conv(in_norm(x))
+            h = h + e[:, None, None, :].astype(h.dtype)
+            h = out_norm(h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = skip + out_conv(h)
         if self.use_temporal_conv:
             bt = h.shape[0]
             b = bt // num_frames

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from tooncrafter_tpu.ops.norms import GroupNorm, GroupNormAct, LayerNorm
+from tooncrafter_tpu.ops.temporal_conv import TemporalConv3
 from tooncrafter_tpu.ops.attention import attention
 from tooncrafter_tpu.models.vae import AttnBlock, ResnetBlock, Upsample
 
@@ -62,12 +63,20 @@ class TemporalResStack(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         c = x.shape[-1]
-        h = GroupNormAct(eps=1e-5, name="in_norm")(x)
-        h = nn.Conv(c, (3, 1, 1), dtype=self.dtype, name="in_conv")(h)
-        h = GroupNormAct(eps=1e-5, name="out_norm")(h)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(c, (3, 1, 1), dtype=self.dtype, kernel_init=zeros_init,
-                    name="out_conv")(h)
+        in_norm = GroupNormAct(eps=1e-5, name="in_norm")
+        in_conv = TemporalConv3(c, dtype=self.dtype, name="in_conv")
+        out_norm = GroupNormAct(eps=1e-5, name="out_norm")
+        out_conv = TemporalConv3(c, dtype=self.dtype,
+                                 kernel_init=zeros_init, name="out_conv")
+        # GN+SiLU folds into each conv's in-VMEM prologue; the dropout
+        # (training) path keeps the unfused order
+        h = in_conv(x, prologue=in_norm(x, return_affine=True))
+        if deterministic or self.dropout == 0.0:
+            h = out_conv(h, prologue=out_norm(h, return_affine=True))
+        else:
+            h = out_norm(h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = out_conv(h)
         return x + h
 
 
@@ -122,8 +131,8 @@ class AE3DConv(nn.Module):
         y = flat.reshape((b, t) + flat.shape[1:])
         if not self.temporal:
             return y
-        return nn.Conv(self.out_channels, (3, 1, 1), dtype=self.dtype,
-                       name="time_mix_conv")(y)
+        return TemporalConv3(self.out_channels, dtype=self.dtype,
+                             name="time_mix_conv")(y)
 
 
 class FusionCrossAttention(nn.Module):

@@ -14,23 +14,26 @@ import jax
 import jax.numpy as jnp
 
 
-def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-6):
-    """GroupNorm over channels-last input of any rank.
+def gn_affine(x, scale, bias, num_groups: int = 32, eps: float = 1e-6,
+              shift=None):
+    """Folded per-sample GroupNorm affine: fp32 (A, B), each (N, C), with
 
-    x: (N, *spatial, C). Statistics are taken jointly over all spatial dims
-    and the channels within a group — matching torch semantics for both 4D
-    (N,C,H,W) and 5D (N,C,T,H,W) inputs (the temporal conv blocks normalize
-    across T as well).
+        group_norm(x + shift) == x * A + B          (shift broadcast (N, C))
+
+    The optional `shift` (a per-sample per-channel bias, e.g. the UNet's
+    time-embedding add, openaimodel3d.py:225-228) is folded analytically
+    from the per-channel sums — the shifted activation is never
+    materialized: s1' = s1 + P*e, s2' = s2 + 2*e*s1 + P*e^2 for spatial
+    count P, then B absorbs the shift as B + e*A.
     """
-    orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]
     assert c % num_groups == 0, (c, num_groups)
     spatial_axes = tuple(range(1, x.ndim - 1))
-    count = 1
+    spatial = 1
     for a in spatial_axes:
-        count *= x.shape[a]
-    count *= c // num_groups
+        spatial *= x.shape[a]
+    count = spatial * (c // num_groups)
     # two-stage statistics keeping the channel axis minor throughout:
     # (1) per-channel spatial sums — a layout-friendly reduce over the
     #     major dims (reducing the grouped 4D reshape directly measured
@@ -42,19 +45,37 @@ def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-6):
     # fuse into the reduce / normalize fusions. Numerics are identical.
     s1 = jnp.sum(x, axis=spatial_axes, dtype=jnp.float32)       # (N, C)
     s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=spatial_axes)
-    s1 = jnp.sum(s1.reshape(n, num_groups, -1), axis=-1)    # (N, G)
-    s2 = jnp.sum(s2.reshape(n, num_groups, -1), axis=-1)
-    mean_g = s1 / count
-    var_g = jnp.maximum(s2 / count - jnp.square(mean_g), 0.0)
+    if shift is not None:
+        e = shift.astype(jnp.float32)                           # (N, C)
+        s2 = s2 + 2.0 * e * s1 + spatial * jnp.square(e)
+        s1 = s1 + spatial * e
+    s1g = jnp.sum(s1.reshape(n, num_groups, -1), axis=-1)    # (N, G)
+    s2g = jnp.sum(s2.reshape(n, num_groups, -1), axis=-1)
+    mean_g = s1g / count
+    var_g = jnp.maximum(s2g / count - jnp.square(mean_g), 0.0)
     inv_g = jax.lax.rsqrt(var_g + eps)
-    # broadcast back to channels and fold the affine: y = x*A + B
+    # broadcast group stats back to channels and fold the affine
     mean_c = jnp.repeat(mean_g, c // num_groups, axis=1)    # (N, C)
     inv_c = jnp.repeat(inv_g, c // num_groups, axis=1)
     a_c = inv_c * scale.astype(jnp.float32)[None]
     b_c = bias.astype(jnp.float32)[None] - mean_c * a_c
-    bshape = (n,) + (1,) * len(spatial_axes) + (c,)
+    if shift is not None:
+        b_c = b_c + e * a_c
+    return a_c, b_c
+
+
+def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-6):
+    """GroupNorm over channels-last input of any rank.
+
+    x: (N, *spatial, C). Statistics are taken jointly over all spatial dims
+    and the channels within a group — matching torch semantics for both 4D
+    (N,C,H,W) and 5D (N,C,T,H,W) inputs (the temporal conv blocks normalize
+    across T as well).
+    """
+    a_c, b_c = gn_affine(x, scale, bias, num_groups, eps)
+    bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
     out = x.astype(jnp.float32) * a_c.reshape(bshape) + b_c.reshape(bshape)
-    return out.astype(orig_dtype)
+    return out.astype(x.dtype)
 
 
 class GroupNorm(nn.Module):
@@ -85,12 +106,22 @@ class GroupNormAct(nn.Module):
     act: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, shift=None, return_affine: bool = False):
         from tooncrafter_tpu.ops.fused_norms import group_norm_silu
 
         c = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if return_affine:
+            # folded (A, B) for a downstream fused norm->act->conv kernel
+            # (ops/spatial_conv.py); `shift` folds a pre-norm per-channel
+            # add (the ResBlock temb) without materializing it. The
+            # consumer applies the activation, so this only makes sense
+            # for act=True norms.
+            assert self.act
+            return gn_affine(x, weight, bias, self.num_groups, self.eps,
+                             shift=shift)
+        assert shift is None
         return group_norm_silu(x, weight, bias, self.num_groups, self.eps,
                                self.act)
 

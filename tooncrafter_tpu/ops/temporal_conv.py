@@ -1,0 +1,213 @@
+"""Temporal (3,1,1) convolution as three shifted matmuls.
+
+Every temporal-mixing conv in the model (UNet TemporalConvBlock,
+dual-ref TemporalResStack / AE3DConv time_mix) is a kernel-size-(3,1,1)
+conv over (B, T, H, W, C). XLA's conv lowering for that shape walks the T
+window with a stride of H*W*C elements (~10 MB at the decoder's level-2
+resolution) and lands at ~26 TFLOP/s / 35 GB/s on v5e. Expressed as
+
+    y[t] = x[t-1] @ W[0] + x[t] @ W[1] + x[t+1] @ W[2] + b
+
+XLA instead emits three dense (B*T*H*W, Cin) x (Cin, Cout) matmuls with
+fused adds — the shapes the MXU was built for.
+
+Parameters are named/shaped exactly like `nn.Conv(features, (3, 1, 1))`
+(kernel (3, 1, 1, Cin, Cout) + bias) so checkpoint conversion and every
+existing test tree stay unchanged.
+
+The shifted-matmul form still reads x three times; at the decoder's
+full-resolution levels that alone saturates HBM (measured 691 GB/s on a
+671 MB activation). The Pallas kernel below holds a (T, Ptile, C) block in
+VMEM and computes the whole T window from one read — x and y cross HBM
+exactly once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_INTERPRET = False
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _vmem_estimate(t: int, blk: int, cin: int, cout: int) -> int:
+    slab = t * blk * cin * 2          # one (T, blk, C) bf16 slab
+    out = t * blk * cout * 2
+    # double-buffered in/out pipelines + normalized copy + weights + acc
+    return 2 * slab + slab + 2 * out + 3 * cin * cout * 2 + blk * cout * 4
+
+
+def _pick_ptile(p: int, c: int, t: int,
+                budget: int = 12 * 1024 * 1024) -> int:
+    for blk in (2048, 1024, 512, 320, 256, 160, 128):
+        if p % blk == 0 and _vmem_estimate(t, blk, c, c) <= budget:
+            return blk
+    return 0
+
+
+def _use_kernel(t: int, p: int, cin: int, cout: int) -> bool:
+    return (t <= 32 and cin == cout and cin % 128 in (0, 64)
+            and _pick_ptile(p, cin, t) >= 128 and (_on_tpu() or _INTERPRET))
+
+
+@functools.partial(jax.jit, static_argnames=("silu",))
+def _pallas_tconv(x, w, b, a_aff, b_aff, silu: bool):
+    """x: (B, T, P, C); w: (3, C, Cout); b: (1, Cout); a_aff/b_aff:
+    (B, C) fp32 per-sample GN affine applied (with optional SiLU) to x in
+    VMEM before the temporal window — the normalized activation never
+    touches HBM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, t, p, c = x.shape
+    cout = w.shape[-1]
+    pt = _pick_ptile(p, c, t)
+    n_p = p // pt
+
+    def kernel(x_ref, w_ref, b_ref, a_ref, baff_ref, o_ref):
+        bi = pl.program_id(0)
+        wk = [w_ref[i] for i in range(3)]
+        bias = b_ref[0].astype(jnp.float32)
+        # full (B, C) affine blocks, row-indexed dynamically (a (1, C)
+        # block would violate Mosaic's (8, 128) tiling rule)
+        a_c = a_ref[bi][None]                      # (1, C) fp32
+        b_c = baff_ref[bi][None]
+        zs = []
+        for ti in range(t):
+            z = x_ref[0, ti].astype(jnp.float32) * a_c + b_c
+            if silu:
+                z = z * jax.nn.sigmoid(z)
+            zs.append(z.astype(x_ref.dtype))
+        for ti in range(t):
+            acc = jax.lax.dot_general(
+                zs[ti], wk[1], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if ti > 0:
+                acc = acc + jax.lax.dot_general(
+                    zs[ti - 1], wk[0], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            if ti < t - 1:
+                acc = acc + jax.lax.dot_general(
+                    zs[ti + 1], wk[2], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            o_ref[0, ti] = (acc + bias).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, n_p),
+        in_specs=[
+            pl.BlockSpec((1, t, pt, c), lambda bi, pi: (bi, 0, pi, 0)),
+            pl.BlockSpec((3, c, cout), lambda bi, pi: (0, 0, 0)),
+            pl.BlockSpec((1, cout), lambda bi, pi: (0, 0)),
+            pl.BlockSpec((bsz, c), lambda bi, pi: (0, 0)),
+            pl.BlockSpec((bsz, c), lambda bi, pi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, pt, cout),
+                               lambda bi, pi: (bi, 0, pi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, t, p, cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(x, w, b, a_aff, b_aff)
+
+
+def _xla_tconv(x, w, b, a_aff, b_aff, silu: bool):
+    """Shifted-matmul reference form. x: (B, T, *spatial, C)."""
+    t = x.shape[1]
+    if a_aff is not None:
+        bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+        z = x.astype(jnp.float32) * a_aff.reshape(bshape) \
+            + b_aff.reshape(bshape)
+        if silu:
+            z = z * jax.nn.sigmoid(z)
+        x = z.astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1)) + ((0, 0),) * (x.ndim - 2))
+    y = jnp.tensordot(xp[:, 1:1 + t], w[1], axes=[[-1], [0]])
+    y = y + jnp.tensordot(xp[:, 0:t], w[0], axes=[[-1], [0]])
+    y = y + jnp.tensordot(xp[:, 2:2 + t], w[2], axes=[[-1], [0]])
+    return y + b
+
+
+def _impl(x, w, b, a_aff, b_aff, silu: bool):
+    bsz, t, cin, cout = x.shape[0], x.shape[1], x.shape[-1], w.shape[-1]
+    p = 1
+    for d in x.shape[2:-1]:
+        p *= d
+    if _use_kernel(t, p, cin, cout):
+        if a_aff is None:
+            a_aff = jnp.ones((bsz, cin), jnp.float32)
+            b_aff = jnp.zeros((bsz, cin), jnp.float32)
+        y = _pallas_tconv(x.reshape(bsz, t, p, cin), w, b[None],
+                          a_aff, b_aff, silu)
+        return y.reshape(x.shape[:-1] + (cout,))
+    return _xla_tconv(x, w, b, a_aff, b_aff, silu)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _tconv(x, w, b, a_aff, b_aff, silu):
+    return _impl(x, w, b, a_aff, b_aff, silu)
+
+
+def _tconv_fwd(x, w, b, a_aff, b_aff, silu):
+    return _tconv(x, w, b, a_aff, b_aff, silu), (x, w, b, a_aff, b_aff)
+
+
+def _tconv_bwd(silu, saved, g):
+    # recompute through the differentiable shifted-matmul form; the
+    # Pallas forward stays a leaf (like ops/spatial_conv.py)
+    x, w, b, a_aff, b_aff = saved
+    diff = (x, w, b) + ((a_aff, b_aff) if a_aff is not None else ())
+
+    def f(*args):
+        if a_aff is not None:
+            return _xla_tconv(*args, silu=silu)
+        return _xla_tconv(*args, None, None, silu=silu)
+
+    _, vjp = jax.vjp(f, *diff)
+    grads = vjp(g)
+    if a_aff is None:
+        grads = grads + (None, None)
+    return grads
+
+
+_tconv.defvjp(_tconv_fwd, _tconv_bwd)
+
+
+def temporal_conv3(x, w, b, affine=None, silu=False):
+    """y[t] = z[t-1]@w[0] + z[t]@w[1] + z[t+1]@w[2] + b over axis 1,
+    where z = silu(x*A + B) if a folded GN `affine` (A, B from
+    ops/norms.gn_affine) is given, else z = x."""
+    a_aff, b_aff = affine if affine is not None else (None, None)
+    return _tconv(x, w, b, a_aff, b_aff, silu)
+
+
+class TemporalConv3(nn.Module):
+    """Drop-in for nn.Conv(features, (3,1,1), SAME) on (B,T,H,W,C)."""
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, prologue=None):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 1, 1, cin, self.features), jnp.float32)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          jnp.float32)
+        w = kernel[:, 0, 0].astype(self.dtype)       # (3, Cin, Cout)
+        return temporal_conv3(x, w, bias.astype(self.dtype),
+                              affine=prologue, silu=prologue is not None)
