@@ -97,7 +97,7 @@ def test_fused_prologue_grad():
 
     def loss_ref(x, w):
         z = jax.nn.silu(group_norm(x, scale, bias, 32, 1e-5))
-        return jnp.sum(tc._xla_tconv(z, w, b, None, None, False) ** 2)
+        return jnp.sum(tc._xla_tconv(z, w, b, None, None, None, False, False) ** 2)
 
     gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
     gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
@@ -105,3 +105,30 @@ def test_fused_prologue_grad():
                                atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_residual_and_stats_epilogue(monkeypatch):
+    """Residual + stats epilogues match the composed reference, both XLA
+    and (interpret-mode) Pallas."""
+    x = jax.random.normal(jax.random.PRNGKey(11), (1, 8, 16, 16, 128))
+    res = jax.random.normal(jax.random.PRNGKey(12), (1, 8, 16, 16, 128))
+    w = jax.random.normal(jax.random.PRNGKey(13), (3, 128, 128)) * 0.05
+    b = jnp.zeros((128,))
+
+    def check():
+        y, s1, s2 = tc.temporal_conv3(x, w, b, residual=res,
+                                      return_stats=True)
+        y_ref = tc.temporal_conv3(x, w, b) + res
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(jnp.sum(y, axis=(1, 2, 3))),
+            atol=1e-3, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(s2), np.asarray(jnp.sum(y ** 2, axis=(1, 2, 3))),
+            atol=1e-3, rtol=1e-4)
+
+    check()                                   # XLA fallback
+    monkeypatch.setattr(tc, "_INTERPRET", True)
+    assert tc._use_kernel(8, 256, 128, 128)
+    check()                                   # Pallas interpret

@@ -34,9 +34,9 @@ import jax.numpy as jnp
 from tooncrafter_tpu.ops.attention import (attention,
                                            temporal_attention_inplace)
 from tooncrafter_tpu.ops.norms import GroupNormAct, LayerNorm
-from tooncrafter_tpu.ops.resize import upsample_nearest_2x
 from tooncrafter_tpu.ops.schedule import timestep_embedding
-from tooncrafter_tpu.ops.spatial_conv import SpatialConv3x3
+from tooncrafter_tpu.ops.spatial_conv import (SpatialConv3x3,
+                                              UpsampleConv2x)
 from tooncrafter_tpu.ops.temporal_conv import TemporalConv3
 
 zeros_init = nn.initializers.zeros
@@ -58,24 +58,35 @@ class TemporalConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, stats=None, deterministic: bool = True):
         c = x.shape[-1]
         h = x
+        fused = deterministic or self.dropout == 0.0
+        st = stats if fused else None
         for i, zero in ((1, False), (2, False), (3, False), (4, True)):
             norm = GroupNormAct(eps=1e-5, name=f"norm{i}")
             conv = TemporalConv3(c, dtype=self.dtype,
                                  kernel_init=zeros_init if zero else
                                  nn.initializers.lecun_normal(),
                                  name=f"conv{i}")
-            if deterministic or self.dropout == 0.0 or i == 1:
-                # GN+SiLU folds into the conv prologue (in-VMEM)
-                h = conv(h, prologue=norm(h, return_affine=True))
+            if fused:
+                # GN+SiLU folds into the conv prologue (in-VMEM); each
+                # conv's stats epilogue feeds the next norm, and the
+                # closing residual rides conv4's epilogue — the chain
+                # h never takes a standalone elementwise/reduce pass.
+                aff = norm(h, return_affine=True, stats=st)
+                if i == 4:
+                    h = conv(h, prologue=aff, residual=x)
+                else:
+                    h, s1, s2 = conv(h, prologue=aff, return_stats=True)
+                    st = (s1, s2)
             else:
                 h = norm(h)
-                h = nn.Dropout(self.dropout,
-                               deterministic=deterministic)(h)
+                if i > 1:
+                    h = nn.Dropout(self.dropout,
+                                   deterministic=deterministic)(h)
                 h = conv(h)
-        return x + h
+        return h if fused else x + h
 
 
 class UNetResBlock(nn.Module):
@@ -101,14 +112,27 @@ class UNetResBlock(nn.Module):
         e = nn.Dense(out_ch, dtype=self.dtype, name="emb_proj")(silu(emb))
         skip = x if x.shape[-1] == out_ch else \
             nn.Dense(out_ch, dtype=self.dtype, name="skip")(x)
-        if deterministic or self.dropout == 0.0:
+        fused = deterministic or self.dropout == 0.0
+        tstats = None
+        if fused:
             # inference hot path: each GN+SiLU folds into its conv's
             # prologue (one HBM round-trip each); the temb add is folded
-            # analytically into out_norm's affine (never materialized) and
-            # the skip-add rides the second conv's epilogue.
-            h = in_conv(x, prologue=in_norm(x, return_affine=True))
-            aff = out_norm(h, shift=e, return_affine=True)
-            h = out_conv(h, prologue=aff, residual=skip)
+            # analytically into out_norm's affine (never materialized);
+            # the skip-add rides the second conv's epilogue, whose stats
+            # epilogue seeds the temporal block's first norm.
+            h, s1, s2 = in_conv(x, prologue=in_norm(x, return_affine=True),
+                                return_stats=True)
+            aff = out_norm(h, shift=e, return_affine=True, stats=(s1, s2))
+            if self.use_temporal_conv:
+                h, so1, so2 = out_conv(h, prologue=aff, residual=skip,
+                                       return_stats=True)
+                b = h.shape[0] // num_frames
+                # (b*t, C) spatial sums -> (b, C) spatio-temporal sums,
+                # matching the temporal block's 5-D GroupNorm
+                tstats = (so1.reshape(b, num_frames, -1).sum(1),
+                          so2.reshape(b, num_frames, -1).sum(1))
+            else:
+                h = out_conv(h, prologue=aff, residual=skip)
         else:
             # training path keeps dropout between SiLU and conv, exactly
             # like the reference (openaimodel3d.py:210-236)
@@ -123,7 +147,7 @@ class UNetResBlock(nn.Module):
             h5 = h.reshape((b, num_frames) + h.shape[1:])
             h5 = TemporalConvBlock(dropout=0.1, dtype=self.dtype,
                                    name="temporal_conv")(
-                h5, deterministic=deterministic)
+                h5, stats=tstats, deterministic=deterministic)
             h = h5.reshape(h.shape)
         return h
 
@@ -386,8 +410,10 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = upsample_nearest_2x(x)
-        return nn.Conv(x.shape[-1], (3, 3), dtype=self.dtype, name="conv")(x)
+        # nearest-2x + SAME conv folded into one input-dilated conv
+        # (ops/resize.upsample2x_conv3x3); params stay nn.Conv-shaped
+        return UpsampleConv2x(x.shape[-1], dtype=self.dtype,
+                              name="conv")(x)
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 from tooncrafter_tpu.ops.norms import GroupNorm, GroupNormAct
 from tooncrafter_tpu.ops.attention import attention
-from tooncrafter_tpu.ops.resize import upsample_nearest_2x
 
 
 def swish(x):
@@ -40,16 +39,30 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        from tooncrafter_tpu.ops.spatial_conv import SpatialConv3x3
+
         out_ch = self.out_channels or x.shape[-1]
         in_ch = x.shape[-1]
-        h = GroupNormAct(name="norm1")(x)
-        h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="conv1")(h)
-        h = GroupNormAct(name="norm2")(h)
+        norm1 = GroupNormAct(name="norm1")
+        conv1 = SpatialConv3x3(out_ch, dtype=self.dtype, name="conv1")
+        norm2 = GroupNormAct(name="norm2")
+        conv2 = SpatialConv3x3(out_ch, dtype=self.dtype, name="conv2")
+        skip = x if in_ch == out_ch else \
+            nn.Dense(out_ch, dtype=self.dtype, name="nin_shortcut")(x)
+        if deterministic or self.dropout == 0.0:
+            # GN+swish folds into each conv's prologue; conv1's stats
+            # epilogue feeds norm2 and the skip-add rides conv2's
+            # epilogue (ops/spatial_conv.py)
+            h, s1, s2 = conv1(x, prologue=norm1(x, return_affine=True),
+                              return_stats=True)
+            h = conv2(h, prologue=norm2(h, return_affine=True,
+                                        stats=(s1, s2)),
+                      residual=skip)
+            return h
+        h = conv1(norm1(x))
+        h = norm2(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name="conv2")(h)
-        if in_ch != out_ch:
-            x = nn.Dense(out_ch, dtype=self.dtype, name="nin_shortcut")(x)
-        return x + h
+        return skip + conv2(h)
 
 
 class AttnBlock(nn.Module):
@@ -87,8 +100,12 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = upsample_nearest_2x(x)
-        return nn.Conv(x.shape[-1], (3, 3), dtype=self.dtype, name="conv")(x)
+        # nearest-2x + SAME conv folded into one input-dilated conv
+        # (ops/resize.upsample2x_conv3x3); params stay nn.Conv-shaped
+        from tooncrafter_tpu.ops.spatial_conv import UpsampleConv2x
+
+        return UpsampleConv2x(x.shape[-1], dtype=self.dtype,
+                              name="conv")(x)
 
 
 class DownLevel(nn.Module):

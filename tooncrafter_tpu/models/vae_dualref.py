@@ -70,13 +70,18 @@ class TemporalResStack(nn.Module):
                                  kernel_init=zeros_init, name="out_conv")
         # GN+SiLU folds into each conv's in-VMEM prologue; the dropout
         # (training) path keeps the unfused order
-        h = in_conv(x, prologue=in_norm(x, return_affine=True))
         if deterministic or self.dropout == 0.0:
-            h = out_conv(h, prologue=out_norm(h, return_affine=True))
-        else:
-            h = out_norm(h)
-            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-            h = out_conv(h)
+            h, s1, s2 = in_conv(x, prologue=in_norm(x, return_affine=True),
+                                return_stats=True)
+            # in_conv's stats epilogue feeds out_norm; the closing
+            # residual rides out_conv's epilogue
+            return out_conv(h, prologue=out_norm(h, return_affine=True,
+                                                 stats=(s1, s2)),
+                            residual=x)
+        h = in_conv(x, prologue=in_norm(x, return_affine=True))
+        h = out_norm(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = out_conv(h)
         return x + h
 
 

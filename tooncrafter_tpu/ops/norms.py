@@ -45,6 +45,23 @@ def gn_affine(x, scale, bias, num_groups: int = 32, eps: float = 1e-6,
     # fuse into the reduce / normalize fusions. Numerics are identical.
     s1 = jnp.sum(x, axis=spatial_axes, dtype=jnp.float32)       # (N, C)
     s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=spatial_axes)
+    return gn_affine_from_stats(s1, s2, spatial, scale, bias,
+                                num_groups, eps, shift=shift)
+
+
+def gn_affine_from_stats(s1, s2, spatial: int, scale, bias,
+                         num_groups: int = 32, eps: float = 1e-6,
+                         shift=None):
+    """gn_affine from precomputed per-channel sums.
+
+    s1/s2: (N, C) fp32 sums of x and x^2 over `spatial` positions —
+    typically emitted by a producing conv kernel's stats epilogue
+    (ops/spatial_conv.py, ops/temporal_conv.py), so the norm costs no
+    extra pass over the activation.
+    """
+    n, c = s1.shape
+    assert c % num_groups == 0, (c, num_groups)
+    count = spatial * (c // num_groups)
     if shift is not None:
         e = shift.astype(jnp.float32)                           # (N, C)
         s2 = s2 + 2.0 * e * s1 + spatial * jnp.square(e)
@@ -106,7 +123,8 @@ class GroupNormAct(nn.Module):
     act: bool = True
 
     @nn.compact
-    def __call__(self, x, *, shift=None, return_affine: bool = False):
+    def __call__(self, x, *, shift=None, return_affine: bool = False,
+                 stats=None):
         from tooncrafter_tpu.ops.fused_norms import group_norm_silu
 
         c = x.shape[-1]
@@ -117,11 +135,21 @@ class GroupNormAct(nn.Module):
             # (ops/spatial_conv.py); `shift` folds a pre-norm per-channel
             # add (the ResBlock temb) without materializing it. The
             # consumer applies the activation, so this only makes sense
-            # for act=True norms.
+            # for act=True norms. `stats` (s1, s2) — per-channel sums
+            # from the producer's epilogue — makes the affine free of
+            # any read of x; x is then only used for its shapes.
             assert self.act
+            spatial = 1
+            for d in x.shape[1:-1]:
+                spatial *= d
+            if stats is not None:
+                s1, s2 = stats
+                return gn_affine_from_stats(
+                    s1, s2, spatial, weight, bias, self.num_groups,
+                    self.eps, shift=shift)
             return gn_affine(x, weight, bias, self.num_groups, self.eps,
                              shift=shift)
-        assert shift is None
+        assert shift is None and stats is None
         return group_norm_silu(x, weight, bias, self.num_groups, self.eps,
                                self.act)
 

@@ -49,14 +49,19 @@ def _on_tpu() -> bool:
         return False
 
 
-def _vmem_bytes(hw: int, c: int, cout_t: int, pad_hw: int, wimg: int,
-                hb: int) -> int:
+def _vmem_bytes(hw: int, ck: int, cout_t: int, pad_hw: int, wimg: int,
+                hb: int, k_tiled: bool, w_dbl: bool) -> int:
     ebytes = 2  # bf16 slabs
-    x_blk = 2 * hw * c * ebytes           # double-buffered input block
-    zp = pad_hw * c * ebytes              # padded normalized slab
-    acc = hb * wimg * cout_t * 4          # fp32 row-band accumulator
+    x_blk = 2 * hw * ck * ebytes          # double-buffered input block
+    zp = pad_hw * ck * ebytes             # padded normalized slab
     out = 2 * hw * cout_t * ebytes        # double-buffered output block
-    w = 9 * c * cout_t * ebytes
+    # weight blocks double-buffer only when their index varies over the
+    # grid (cout- or cin-tiled)
+    w = (2 if w_dbl else 1) * 9 * ck * cout_t * ebytes
+    if k_tiled:
+        acc = hw * cout_t * 4             # fp32 scratch across cin tiles
+    else:
+        acc = hb * wimg * cout_t * 4      # fp32 row-band accumulator
     return x_blk + zp + acc + out + w
 
 
@@ -65,16 +70,26 @@ def _band_rows(w: int) -> int:
     return max(1, -(-256 // w))
 
 
-def _pick_cout_tile(h: int, w: int, cin: int, cout: int) -> int:
-    # Mosaic needs the lane (last) block dim to be a multiple of 128 or
-    # the full array dim
+def _pick_tiles(h: int, w: int, cin: int, cout: int):
+    """(ck, ct) input/output channel tiles, or (0, 0).
+
+    Mosaic needs the lane (last) block dim of every operand to be a
+    multiple of 128 or the full array dim; ck tiles the conv's K dim
+    (accumulating across grid steps in fp32 scratch) so wide skip-concat
+    inputs (640/1920/2560 ch) still fit VMEM.
+    """
     hw, pad_hw, hb = h * w, (h + 2) * (w + 2), _band_rows(w)
-    for ct in (cout, 512, 384, 256, 128):
-        if ct <= cout and cout % ct == 0 \
-                and (ct == cout or ct % 128 == 0) \
-                and _vmem_bytes(hw, cin, ct, pad_hw, w, hb) <= _VMEM_BUDGET:
-            return ct
-    return 0
+    for ck in (cin, 1024, 512, 256, 128):
+        if ck > cin or cin % ck or (ck != cin and ck % 128):
+            continue
+        for ct in (cout, 512, 384, 256, 128):
+            if ct <= cout and cout % ct == 0 \
+                    and (ct == cout or ct % 128 == 0) \
+                    and _vmem_bytes(
+                        hw, ck, ct, pad_hw, w, hb, ck != cin,
+                        ck != cin or ct != cout) <= _VMEM_BUDGET:
+                return ck, ct
+    return 0, 0
 
 
 def _use_kernel(h: int, w: int, cin: int, cout: int) -> bool:
@@ -82,84 +97,187 @@ def _use_kernel(h: int, w: int, cin: int, cout: int) -> bool:
         return False
     if h < 8 or w < 8 or cin % 64 or cout % 64:
         return False
-    return _pick_cout_tile(h, w, cin, cout) > 0
+    return _pick_tiles(h, w, cin, cout)[0] > 0
 
 
-@functools.partial(jax.jit, static_argnames=("silu",))
-def _pallas_fused_conv(x, a, b, kernel, bias, res, silu: bool):
+@functools.partial(jax.jit, static_argnames=("silu", "stats"))
+def _pallas_fused_conv(x, a, b, kernel, bias, res, silu: bool,
+                       stats: bool):
     """x: (N,H,W,C); a/b: (N,C) fp32; kernel: (3,3,C,Cout) in compute
-    dtype; bias: (Cout,); res: (N,H,W,Cout) or None."""
+    dtype; bias: (Cout,); res: (N,H,W,Cout) or None. With stats=True also
+    emits per-channel fp32 sums s1/s2 of the (cast) output — the next
+    GroupNorm's statistics for free."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, h, w, c = x.shape
     cout = kernel.shape[-1]
-    ct = _pick_cout_tile(h, w, c, cout)
+    ck, ct = _pick_tiles(h, w, c, cout)
     n_ct = cout // ct
+    n_ck = c // ck
     hb = _band_rows(w)
     residual = res is not None
     if not residual:  # dummy block so the kernel arity is fixed
         res = jnp.zeros((1, 1, 1, ct), x.dtype)
 
-    def kern(x_ref, a_ref, b_ref, w_ref, bias_ref, res_ref, o_ref):
+    def partial_conv(zp, w_ref, h0, rows):
+        acc = jax.lax.dot_general(
+            zp[h0 + 1:h0 + 1 + rows, 1:1 + w].reshape(rows * w, ck),
+            w_ref[1, 1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                if dy == 1 and dx == 1:
+                    continue
+                acc = acc + jax.lax.dot_general(
+                    zp[h0 + dy:h0 + dy + rows,
+                       dx:dx + w].reshape(rows * w, ck),
+                    w_ref[dy, dx], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        return acc
+
+    def normalize(x_ref, a_ref, b_ref):
         i = pl.program_id(0)
-        xs = x_ref[0]                                # (H, W, C)
-        z = xs.astype(jnp.float32) * a_ref[i][None] + b_ref[i][None]
+        z = x_ref[0].astype(jnp.float32) * a_ref[i][None] + b_ref[i][None]
         if silu:
             z = z * jax.nn.sigmoid(z)
-        zp = jnp.pad(z.astype(xs.dtype), ((1, 1), (1, 1), (0, 0)))
+        return jnp.pad(z.astype(x_ref.dtype), ((1, 1), (1, 1), (0, 0)))
+
+    def epilogue(ob, o_ref, stat_refs, h0, rows, s1_acc, s2_acc):
+        o_ref[0, h0:h0 + rows] = ob
+        if stats:
+            # stats of the CAST output so the chained norm sees exactly
+            # what a standalone norm would read
+            of = ob.astype(jnp.float32).reshape(rows * w, ct)
+            s1_acc = s1_acc + jnp.sum(of, axis=0)
+            s2_acc = s2_acc + jnp.sum(of * of, axis=0)
+        return s1_acc, s2_acc
+
+    def kern_flat(x_ref, a_ref, b_ref, w_ref, bias_ref, res_ref, o_ref,
+                  *stat_refs):
+        # single cin tile: row bands keep the fp32 accumulator small so
+        # full-Cout tiles fit VMEM at the 40x64x320 level
+        zp = normalize(x_ref, a_ref, b_ref)
         bias_v = bias_ref[0].astype(jnp.float32)
-        # row bands keep the fp32 accumulator small so full-Cout tiles
-        # fit VMEM at the 40x64x320 level
+        s1_acc = jnp.zeros((ct,), jnp.float32)
+        s2_acc = jnp.zeros((ct,), jnp.float32)
         for h0 in range(0, h, hb):
             rows = min(hb, h - h0)
-            acc = jax.lax.dot_general(
-                zp[h0 + 1:h0 + 1 + rows, 1:1 + w].reshape(rows * w, c),
-                w_ref[1, 1], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            for dy in range(3):
-                for dx in range(3):
-                    if dy == 1 and dx == 1:
-                        continue
-                    acc = acc + jax.lax.dot_general(
-                        zp[h0 + dy:h0 + dy + rows,
-                           dx:dx + w].reshape(rows * w, c),
-                        w_ref[dy, dx], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-            acc = acc + bias_v
+            acc = partial_conv(zp, w_ref, h0, rows) + bias_v
             if residual:
                 acc = acc + res_ref[0, h0:h0 + rows].reshape(
                     rows * w, ct).astype(jnp.float32)
-            o_ref[0, h0:h0 + rows] = acc.reshape(rows, w, ct).astype(
-                o_ref.dtype)
+            ob = acc.reshape(rows, w, ct).astype(o_ref.dtype)
+            s1_acc, s2_acc = epilogue(ob, o_ref, stat_refs, h0, rows,
+                                      s1_acc, s2_acc)
+        if stats:
+            stat_refs[0][0, 0] = s1_acc
+            stat_refs[1][0, 0] = s2_acc
 
-    return pl.pallas_call(
-        kern,
+    def kern_ktiled(x_ref, a_ref, b_ref, w_ref, bias_ref, res_ref, o_ref,
+                    *refs):
+        # wide-cin path (skip-concat inputs): grid walks cin tiles
+        # innermost, partial products accumulate in fp32 scratch; the
+        # epilogue (bias/residual/cast/stats) runs on the last tile
+        acc_ref = refs[-1]
+        stat_refs = refs[:-1]
+        k = pl.program_id(2)
+        zp = normalize(x_ref, a_ref, b_ref)
+        for h0 in range(0, h, hb):
+            rows = min(hb, h - h0)
+            part = partial_conv(zp, w_ref, h0, rows)
+            sl = slice(h0 * w, h0 * w + rows * w)
+
+            @pl.when(k == 0)
+            def _init(part=part, sl=sl):
+                acc_ref[sl] = part
+
+            @pl.when(k > 0)
+            def _accum(part=part, sl=sl):
+                acc_ref[sl] = acc_ref[sl] + part
+
+        @pl.when(k == n_ck - 1)
+        def _finish():
+            bias_v = bias_ref[0].astype(jnp.float32)
+            s1_acc = jnp.zeros((ct,), jnp.float32)
+            s2_acc = jnp.zeros((ct,), jnp.float32)
+            for h0 in range(0, h, hb):
+                rows = min(hb, h - h0)
+                acc = acc_ref[h0 * w:h0 * w + rows * w] + bias_v
+                if residual:
+                    acc = acc + res_ref[0, h0:h0 + rows].reshape(
+                        rows * w, ct).astype(jnp.float32)
+                ob = acc.reshape(rows, w, ct).astype(o_ref.dtype)
+                s1_acc, s2_acc = epilogue(ob, o_ref, stat_refs, h0, rows,
+                                          s1_acc, s2_acc)
+            if stats:
+                stat_refs[0][0, 0] = s1_acc
+                stat_refs[1][0, 0] = s2_acc
+
+    k_tiled = n_ck > 1
+    if k_tiled:
+        grid = (n, n_ct, n_ck)
+        ix = lambda i, j, k: (i, 0, 0, k)       # x: cin-tile minor
+        iab = lambda i, j, k: (0, k)
+        iw = lambda i, j, k: (0, 0, k, j)
+        ibias = lambda i, j, k: (0, j)
+        ires = lambda i, j, k: (i, 0, 0, j)
+        ires0 = lambda i, j, k: (0, 0, 0, 0)
+        iout = lambda i, j, k: (i, 0, 0, j)
+        istat = lambda i, j, k: (i, 0, j)
+        sem = ("parallel", "arbitrary", "arbitrary")
+    else:
+        grid = (n, n_ct)
+        ix = lambda i, j: (i, 0, 0, 0)
+        iab = lambda i, j: (0, 0)
+        iw = lambda i, j: (0, 0, 0, j)
+        ibias = lambda i, j: (0, j)
+        ires = lambda i, j: (i, 0, 0, j)
+        ires0 = lambda i, j: (0, 0, 0, 0)
+        iout = lambda i, j: (i, 0, 0, j)
+        istat = lambda i, j: (i, 0, j)
+        sem = ("parallel", "arbitrary")
+
+    out_shape = [jax.ShapeDtypeStruct((n, h, w, cout), x.dtype)]
+    out_specs = [pl.BlockSpec((1, h, w, ct), iout)]
+    if stats:
+        for _ in range(2):
+            out_shape.append(jax.ShapeDtypeStruct((n, 1, cout),
+                                                  jnp.float32))
+            out_specs.append(pl.BlockSpec((1, 1, ct), istat))
+
+    out = pl.pallas_call(
+        kern_ktiled if k_tiled else kern_flat,
         # cout-minor grid order so consecutive steps reuse the resident
         # x block (same index -> no re-fetch)
-        grid=(n, n_ct),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0)),
-            # full (N, C) affine blocks, row-indexed dynamically in the
+            pl.BlockSpec((1, h, w, ck), ix),
+            # full-N affine blocks, row-indexed dynamically in the
             # kernel (a (1, C) block would violate the (8, 128) tiling)
-            pl.BlockSpec((n, c), lambda i, j: (0, 0)),
-            pl.BlockSpec((n, c), lambda i, j: (0, 0)),
-            pl.BlockSpec((3, 3, c, ct), lambda i, j: (0, 0, 0, j)),
-            pl.BlockSpec((1, ct), lambda i, j: (0, j)),
-            (pl.BlockSpec((1, h, w, ct), lambda i, j: (i, 0, 0, j))
-             if residual else
-             pl.BlockSpec((1, 1, 1, ct), lambda i, j: (0, 0, 0, 0))),
+            pl.BlockSpec((n, ck), iab),
+            pl.BlockSpec((n, ck), iab),
+            pl.BlockSpec((3, 3, ck, ct), iw),
+            pl.BlockSpec((1, ct), ibias),
+            (pl.BlockSpec((1, h, w, ct), ires) if residual
+             else pl.BlockSpec((1, 1, 1, ct), ires0)),
         ],
-        out_specs=pl.BlockSpec((1, h, w, ct), lambda i, j: (i, 0, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), x.dtype),
+        out_specs=out_specs if stats else out_specs[0],
+        out_shape=out_shape if stats else out_shape[0],
+        scratch_shapes=([pltpu.VMEM((h * w, ct), jnp.float32)]
+                        if k_tiled else []),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=sem,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
     )(x, a, b, kernel, bias.reshape(1, -1), res)
+    if stats:
+        y, s1, s2 = out
+        return y, s1.reshape(n, cout), s2.reshape(n, cout)
+    return out
 
 
-def _xla_impl(x, a, b, kernel, bias, res, silu: bool):
+def _xla_impl(x, a, b, kernel, bias, res, silu: bool, stats: bool):
     bshape = (x.shape[0], 1, 1, x.shape[-1])
     z = x.astype(jnp.float32) * a.reshape(bshape) + b.reshape(bshape)
     if silu:
@@ -171,34 +289,38 @@ def _xla_impl(x, a, b, kernel, bias, res, silu: bool):
     y = y + bias.astype(y.dtype)
     if res is not None:
         y = y + res.astype(y.dtype)
+    if stats:
+        s1 = jnp.sum(y, axis=(1, 2), dtype=jnp.float32)
+        s2 = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=(1, 2))
+        return y, s1, s2
     return y
 
 
-def _impl(x, a, b, kernel, bias, res, silu: bool):
+def _impl(x, a, b, kernel, bias, res, silu: bool, stats: bool):
     n, h, w, cin = x.shape
     if _use_kernel(h, w, cin, kernel.shape[-1]):
-        return _pallas_fused_conv(x, a, b, kernel, bias, res, silu)
-    return _xla_impl(x, a, b, kernel, bias, res, silu)
+        return _pallas_fused_conv(x, a, b, kernel, bias, res, silu, stats)
+    return _xla_impl(x, a, b, kernel, bias, res, silu, stats)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _fused(x, a, b, kernel, bias, res, silu):
-    return _impl(x, a, b, kernel, bias, res, silu)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused(x, a, b, kernel, bias, res, silu, stats):
+    return _impl(x, a, b, kernel, bias, res, silu, stats)
 
 
-def _fused_fwd(x, a, b, kernel, bias, res, silu):
-    return _fused(x, a, b, kernel, bias, res, silu), \
+def _fused_fwd(x, a, b, kernel, bias, res, silu, stats):
+    return _fused(x, a, b, kernel, bias, res, silu, stats), \
         (x, a, b, kernel, bias, res)
 
 
-def _fused_bwd(silu, saved, g):
+def _fused_bwd(silu, stats, saved, g):
     x, a, b, kernel, bias, res = saved
     diff = (x, a, b, kernel, bias) + ((res,) if res is not None else ())
 
     def f(*args):
         if res is not None:
-            return _xla_impl(*args, silu=silu)
-        return _xla_impl(*args, None, silu=silu)
+            return _xla_impl(*args, silu=silu, stats=stats)
+        return _xla_impl(*args, None, silu=silu, stats=stats)
 
     _, vjp = jax.vjp(f, *diff)
     grads = vjp(g)
@@ -210,14 +332,40 @@ def _fused_bwd(silu, saved, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def gn_silu_conv3x3(x, affine, kernel, bias, residual=None, silu=True):
+def gn_silu_conv3x3(x, affine, kernel, bias, residual=None, silu=True,
+                    return_stats=False):
     """conv3x3(silu(x*A + B)) + bias (+ residual) on (N, H, W, C).
 
     `affine` is the (A, B) pair from `ops/norms.gn_affine`. Numerically
     identical (fp32 tolerance) to group_norm -> silu -> nn.Conv -> add.
+    With return_stats=True also returns per-channel fp32 sums (s1, s2)
+    of the output over (H, W) — feed them to the next norm via
+    `ops/norms.gn_affine_from_stats` to skip its statistics pass.
     """
     a, b = affine
-    return _fused(x, a, b, kernel, bias, residual, silu)
+    return _fused(x, a, b, kernel, bias, residual, silu, return_stats)
+
+
+class UpsampleConv2x(nn.Module):
+    """conv3x3_SAME(nearest_2x(x)) via the folded input-dilated conv
+    (ops/resize.upsample2x_conv3x3). Params are named/shaped exactly
+    like ``nn.Conv(features, (3, 3))`` so checkpoint conversion and
+    existing param trees stay unchanged."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from tooncrafter_tpu.ops.resize import upsample2x_conv3x3
+
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return upsample2x_conv3x3(x, kernel.astype(self.dtype),
+                                  bias.astype(self.dtype))
 
 
 class SpatialConv3x3(nn.Module):
@@ -231,7 +379,8 @@ class SpatialConv3x3(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, prologue=None, residual=None):
+    def __call__(self, x, prologue=None, residual=None,
+                 return_stats: bool = False):
         cin = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (3, 3, cin, self.features), jnp.float32)
@@ -243,5 +392,7 @@ class SpatialConv3x3(nn.Module):
             ones = jnp.ones((x.shape[0], cin), jnp.float32)
             zeros = jnp.zeros((x.shape[0], cin), jnp.float32)
             return gn_silu_conv3x3(x, (ones, zeros), k, bi,
-                                   residual=residual, silu=False)
-        return gn_silu_conv3x3(x, prologue, k, bi, residual=residual)
+                                   residual=residual, silu=False,
+                                   return_stats=return_stats)
+        return gn_silu_conv3x3(x, prologue, k, bi, residual=residual,
+                               return_stats=return_stats)

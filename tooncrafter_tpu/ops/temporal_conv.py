@@ -49,8 +49,8 @@ def _vmem_estimate(t: int, blk: int, cin: int, cout: int) -> int:
 
 
 def _pick_ptile(p: int, c: int, t: int,
-                budget: int = 12 * 1024 * 1024) -> int:
-    for blk in (2048, 1024, 512, 320, 256, 160, 128):
+                budget: int = 13 * 1024 * 1024) -> int:
+    for blk in (2048, 1024, 512, 320, 256, 160, 128, 64):
         if p % blk == 0 and _vmem_estimate(t, blk, c, c) <= budget:
             return blk
     return 0
@@ -58,15 +58,17 @@ def _pick_ptile(p: int, c: int, t: int,
 
 def _use_kernel(t: int, p: int, cin: int, cout: int) -> bool:
     return (t <= 32 and cin == cout and cin % 128 in (0, 64)
-            and _pick_ptile(p, cin, t) >= 128 and (_on_tpu() or _INTERPRET))
+            and _pick_ptile(p, cin, t) >= 64 and (_on_tpu() or _INTERPRET))
 
 
-@functools.partial(jax.jit, static_argnames=("silu",))
-def _pallas_tconv(x, w, b, a_aff, b_aff, silu: bool):
+@functools.partial(jax.jit, static_argnames=("silu", "stats"))
+def _pallas_tconv(x, w, b, a_aff, b_aff, res, silu: bool, stats: bool):
     """x: (B, T, P, C); w: (3, C, Cout); b: (1, Cout); a_aff/b_aff:
     (B, C) fp32 per-sample GN affine applied (with optional SiLU) to x in
     VMEM before the temporal window — the normalized activation never
-    touches HBM."""
+    touches HBM. res: (B, T, P, Cout) residual added in the epilogue, or
+    None. stats=True emits P-tile-partial per-channel fp32 sums of the
+    cast output, shape (B, n_p, 1, Cout) — reduce over axis 1 outside."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -74,8 +76,12 @@ def _pallas_tconv(x, w, b, a_aff, b_aff, silu: bool):
     cout = w.shape[-1]
     pt = _pick_ptile(p, c, t)
     n_p = p // pt
+    residual = res is not None
+    if not residual:  # dummy block keeps the kernel arity fixed
+        res = jnp.zeros((1, 1, 1, cout), x.dtype)
 
-    def kernel(x_ref, w_ref, b_ref, a_ref, baff_ref, o_ref):
+    def kernel(x_ref, w_ref, b_ref, a_ref, baff_ref, res_ref, o_ref,
+               *stat_refs):
         bi = pl.program_id(0)
         wk = [w_ref[i] for i in range(3)]
         bias = b_ref[0].astype(jnp.float32)
@@ -89,6 +95,8 @@ def _pallas_tconv(x, w, b, a_aff, b_aff, silu: bool):
             if silu:
                 z = z * jax.nn.sigmoid(z)
             zs.append(z.astype(x_ref.dtype))
+        s1_acc = jnp.zeros((cout,), jnp.float32)
+        s2_acc = jnp.zeros((cout,), jnp.float32)
         for ti in range(t):
             acc = jax.lax.dot_general(
                 zs[ti], wk[1], (((1,), (0,)), ((), ())),
@@ -101,9 +109,30 @@ def _pallas_tconv(x, w, b, a_aff, b_aff, silu: bool):
                 acc = acc + jax.lax.dot_general(
                     zs[ti + 1], wk[2], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-            o_ref[0, ti] = (acc + bias).astype(o_ref.dtype)
+            acc = acc + bias
+            if residual:
+                acc = acc + res_ref[0, ti].astype(jnp.float32)
+            ob = acc.astype(o_ref.dtype)
+            o_ref[0, ti] = ob
+            if stats:
+                of = ob.astype(jnp.float32)
+                s1_acc = s1_acc + jnp.sum(of, axis=0)
+                s2_acc = s2_acc + jnp.sum(of * of, axis=0)
+        if stats:
+            stat_refs[0][0, 0, 0] = s1_acc
+            stat_refs[1][0, 0, 0] = s2_acc
 
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((bsz, t, p, cout), x.dtype)]
+    out_specs = [pl.BlockSpec((1, t, pt, cout),
+                              lambda bi, pi: (bi, 0, pi, 0))]
+    if stats:
+        for _ in range(2):
+            out_shape.append(
+                jax.ShapeDtypeStruct((bsz, n_p, 1, cout), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, 1, 1, cout),
+                                          lambda bi, pi: (bi, pi, 0, 0)))
+
+    out = pl.pallas_call(
         kernel,
         grid=(bsz, n_p),
         in_specs=[
@@ -112,18 +141,24 @@ def _pallas_tconv(x, w, b, a_aff, b_aff, silu: bool):
             pl.BlockSpec((1, cout), lambda bi, pi: (0, 0)),
             pl.BlockSpec((bsz, c), lambda bi, pi: (0, 0)),
             pl.BlockSpec((bsz, c), lambda bi, pi: (0, 0)),
+            (pl.BlockSpec((1, t, pt, cout), lambda bi, pi: (bi, 0, pi, 0))
+             if residual else
+             pl.BlockSpec((1, 1, 1, cout), lambda bi, pi: (0, 0, 0, 0))),
         ],
-        out_specs=pl.BlockSpec((1, t, pt, cout),
-                               lambda bi, pi: (bi, 0, pi, 0)),
-        out_shape=jax.ShapeDtypeStruct((bsz, t, p, cout), x.dtype),
+        out_specs=out_specs if stats else out_specs[0],
+        out_shape=out_shape if stats else out_shape[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(x, w, b, a_aff, b_aff)
+    )(x, w, b, a_aff, b_aff, res)
+    if stats:
+        y, s1, s2 = out
+        return y, jnp.sum(s1[:, :, 0], axis=1), jnp.sum(s2[:, :, 0], axis=1)
+    return out
 
 
-def _xla_tconv(x, w, b, a_aff, b_aff, silu: bool):
+def _xla_tconv(x, w, b, a_aff, b_aff, res, silu: bool, stats: bool):
     """Shifted-matmul reference form. x: (B, T, *spatial, C)."""
     t = x.shape[1]
     if a_aff is not None:
@@ -137,10 +172,18 @@ def _xla_tconv(x, w, b, a_aff, b_aff, silu: bool):
     y = jnp.tensordot(xp[:, 1:1 + t], w[1], axes=[[-1], [0]])
     y = y + jnp.tensordot(xp[:, 0:t], w[0], axes=[[-1], [0]])
     y = y + jnp.tensordot(xp[:, 2:2 + t], w[2], axes=[[-1], [0]])
-    return y + b
+    y = y + b
+    if res is not None:
+        y = y + res.astype(y.dtype)
+    if stats:
+        axes = tuple(range(1, y.ndim - 1))
+        s1 = jnp.sum(y, axis=axes, dtype=jnp.float32)
+        s2 = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=axes)
+        return y, s1, s2
+    return y
 
 
-def _impl(x, w, b, a_aff, b_aff, silu: bool):
+def _impl(x, w, b, a_aff, b_aff, res, silu: bool, stats: bool):
     bsz, t, cin, cout = x.shape[0], x.shape[1], x.shape[-1], w.shape[-1]
     p = 1
     for d in x.shape[2:-1]:
@@ -149,48 +192,64 @@ def _impl(x, w, b, a_aff, b_aff, silu: bool):
         if a_aff is None:
             a_aff = jnp.ones((bsz, cin), jnp.float32)
             b_aff = jnp.zeros((bsz, cin), jnp.float32)
-        y = _pallas_tconv(x.reshape(bsz, t, p, cin), w, b[None],
-                          a_aff, b_aff, silu)
-        return y.reshape(x.shape[:-1] + (cout,))
-    return _xla_tconv(x, w, b, a_aff, b_aff, silu)
+        res_r = None if res is None else res.reshape(bsz, t, p, cout)
+        out = _pallas_tconv(x.reshape(bsz, t, p, cin), w, b[None],
+                            a_aff, b_aff, res_r, silu, stats)
+        oshape = x.shape[:-1] + (cout,)
+        if stats:
+            y, s1, s2 = out
+            return y.reshape(oshape), s1, s2
+        return out.reshape(oshape)
+    return _xla_tconv(x, w, b, a_aff, b_aff, res, silu, stats)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _tconv(x, w, b, a_aff, b_aff, silu):
-    return _impl(x, w, b, a_aff, b_aff, silu)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _tconv(x, w, b, a_aff, b_aff, res, silu, stats):
+    return _impl(x, w, b, a_aff, b_aff, res, silu, stats)
 
 
-def _tconv_fwd(x, w, b, a_aff, b_aff, silu):
-    return _tconv(x, w, b, a_aff, b_aff, silu), (x, w, b, a_aff, b_aff)
+def _tconv_fwd(x, w, b, a_aff, b_aff, res, silu, stats):
+    return _tconv(x, w, b, a_aff, b_aff, res, silu, stats), \
+        (x, w, b, a_aff, b_aff, res)
 
 
-def _tconv_bwd(silu, saved, g):
+def _tconv_bwd(silu, stats, saved, g):
     # recompute through the differentiable shifted-matmul form; the
     # Pallas forward stays a leaf (like ops/spatial_conv.py)
-    x, w, b, a_aff, b_aff = saved
-    diff = (x, w, b) + ((a_aff, b_aff) if a_aff is not None else ())
+    x, w, b, a_aff, b_aff, res = saved
+    diff = (x, w, b) + ((a_aff, b_aff) if a_aff is not None else ()) \
+        + ((res,) if res is not None else ())
 
-    def f(*args):
-        if a_aff is not None:
-            return _xla_tconv(*args, silu=silu)
-        return _xla_tconv(*args, None, None, silu=silu)
+    def f(x_, w_, b_, *rest):
+        rest = list(rest)
+        aff = (rest.pop(0), rest.pop(0)) if a_aff is not None \
+            else (None, None)
+        r = rest.pop(0) if res is not None else None
+        return _xla_tconv(x_, w_, b_, aff[0], aff[1], r, silu, stats)
 
     _, vjp = jax.vjp(f, *diff)
-    grads = vjp(g)
-    if a_aff is None:
-        grads = grads + (None, None)
-    return grads
+    grads = list(vjp(g))
+    gx, gw, gb = grads[:3]
+    rest = grads[3:]
+    ga, gbaff = (rest.pop(0), rest.pop(0)) if a_aff is not None \
+        else (None, None)
+    gres = rest.pop(0) if res is not None else None
+    return gx, gw, gb, ga, gbaff, gres
 
 
 _tconv.defvjp(_tconv_fwd, _tconv_bwd)
 
 
-def temporal_conv3(x, w, b, affine=None, silu=False):
-    """y[t] = z[t-1]@w[0] + z[t]@w[1] + z[t+1]@w[2] + b over axis 1,
-    where z = silu(x*A + B) if a folded GN `affine` (A, B from
-    ops/norms.gn_affine) is given, else z = x."""
+def temporal_conv3(x, w, b, affine=None, silu=False, residual=None,
+                   return_stats=False):
+    """y[t] = z[t-1]@w[0] + z[t]@w[1] + z[t+1]@w[2] + b (+ residual)
+    over axis 1, where z = silu(x*A + B) if a folded GN `affine` (A, B
+    from ops/norms.gn_affine) is given, else z = x. return_stats=True
+    also returns per-channel fp32 sums (s1, s2) of the output over all
+    non-batch, non-channel axes — feed the next norm via
+    ops/norms.gn_affine_from_stats."""
     a_aff, b_aff = affine if affine is not None else (None, None)
-    return _tconv(x, w, b, a_aff, b_aff, silu)
+    return _tconv(x, w, b, a_aff, b_aff, residual, silu, return_stats)
 
 
 class TemporalConv3(nn.Module):
@@ -202,7 +261,8 @@ class TemporalConv3(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, prologue=None):
+    def __call__(self, x, prologue=None, residual=None,
+                 return_stats: bool = False):
         cin = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (3, 1, 1, cin, self.features), jnp.float32)
@@ -210,4 +270,5 @@ class TemporalConv3(nn.Module):
                           jnp.float32)
         w = kernel[:, 0, 0].astype(self.dtype)       # (3, Cin, Cout)
         return temporal_conv3(x, w, bias.astype(self.dtype),
-                              affine=prologue, silu=prologue is not None)
+                              affine=prologue, silu=prologue is not None,
+                              residual=residual, return_stats=return_stats)
