@@ -259,7 +259,7 @@ def test_ktiled_kernel_matches(monkeypatch):
     x, scale, bias, kernel, cbias, res = _mats(jax.random.PRNGKey(30),
                                                n=2, h=8, w=8,
                                                cin=256, cout=64)
-    monkeypatch.setattr(sc, "_VMEM_BUDGET", 450 * 1024)  # force k-tiling
+    monkeypatch.setattr(sc, "_VMEM_BUDGET", 1200 * 1024)  # force k-tiling
     ck, ct = sc._pick_tiles(8, 8, 256, 64)
     assert ck == 128 and ck < 256, (ck, ct)
     aff = gn_affine(x, scale, bias, num_groups=32, eps=1e-5)

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 _INTERPRET = False
-_VMEM_BUDGET = 11 * 1024 * 1024
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _on_tpu() -> bool:
@@ -58,11 +58,12 @@ def _vmem_bytes(hw: int, ck: int, cout_t: int, pad_hw: int, wimg: int,
     # weight blocks double-buffer only when their index varies over the
     # grid (cout- or cin-tiled)
     w = (2 if w_dbl else 1) * 9 * ck * cout_t * ebytes
+    band = hb * wimg * 9 * ck * ebytes    # im2col band temp
     if k_tiled:
         acc = hw * cout_t * 4             # fp32 scratch across cin tiles
     else:
         acc = hb * wimg * cout_t * 4      # fp32 row-band accumulator
-    return x_blk + zp + acc + out + w
+    return x_blk + zp + acc + out + w + band
 
 
 def _band_rows(w: int) -> int:
@@ -93,6 +94,17 @@ def _pick_tiles(h: int, w: int, cin: int, cout: int):
 
 
 def _use_kernel(h: int, w: int, cin: int, cout: int) -> bool:
+    import os
+
+    # The Pallas kernel is OFF by default: measured on v5e it runs the
+    # UNet's conv shapes at 55-70 TF/s vs XLA's 59-86 (the normalize/
+    # pad/im2col copies are VPU-bound), and the full UNet forward is
+    # 285.7 ms through the XLA formula vs 292.9 ms through the kernel.
+    # All the algebraic wins (folded GN affine, temb-shift fold,
+    # residual epilogue, stats chaining) live in the XLA path too.
+    # TC_SPATIAL_CONV_PALLAS=1 re-enables it for kernel work.
+    if not (_INTERPRET or os.environ.get("TC_SPATIAL_CONV_PALLAS")):
+        return False
     if not (_on_tpu() or _INTERPRET):
         return False
     if h < 8 or w < 8 or cin % 64 or cout % 64:
@@ -121,20 +133,16 @@ def _pallas_fused_conv(x, a, b, kernel, bias, res, silu: bool,
         res = jnp.zeros((1, 1, 1, ct), x.dtype)
 
     def partial_conv(zp, w_ref, h0, rows):
-        acc = jax.lax.dot_general(
-            zp[h0 + 1:h0 + 1 + rows, 1:1 + w].reshape(rows * w, ck),
-            w_ref[1, 1], (((1,), (0,)), ((), ())),
+        # im2col over the band: ONE (rows*w, 9*ck) x (9*ck, ct) MXU dot.
+        # 9 separate K=ck dots leave the MXU pipeline half-empty at the
+        # UNet's 320-ch level (measured 26% MFU); folding the taps into
+        # the contraction dim (K=9*ck=2880) feeds it properly.
+        band = jnp.concatenate(
+            [zp[h0 + dy:h0 + dy + rows, dx:dx + w].reshape(rows * w, ck)
+             for dy in range(3) for dx in range(3)], axis=1)
+        return jax.lax.dot_general(
+            band, w_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                if dy == 1 and dx == 1:
-                    continue
-                acc = acc + jax.lax.dot_general(
-                    zp[h0 + dy:h0 + dy + rows,
-                       dx:dx + w].reshape(rows * w, ck),
-                    w_ref[dy, dx], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-        return acc
 
     def normalize(x_ref, a_ref, b_ref):
         i = pl.program_id(0)
@@ -219,7 +227,7 @@ def _pallas_fused_conv(x, a, b, kernel, bias, res, silu: bool,
         grid = (n, n_ct, n_ck)
         ix = lambda i, j, k: (i, 0, 0, k)       # x: cin-tile minor
         iab = lambda i, j, k: (0, k)
-        iw = lambda i, j, k: (0, 0, k, j)
+        iw = lambda i, j, k: (k, 0, j)
         ibias = lambda i, j, k: (0, j)
         ires = lambda i, j, k: (i, 0, 0, j)
         ires0 = lambda i, j, k: (0, 0, 0, 0)
@@ -230,13 +238,18 @@ def _pallas_fused_conv(x, a, b, kernel, bias, res, silu: bool,
         grid = (n, n_ct)
         ix = lambda i, j: (i, 0, 0, 0)
         iab = lambda i, j: (0, 0)
-        iw = lambda i, j: (0, 0, 0, j)
+        iw = lambda i, j: (0, 0, j)
         ibias = lambda i, j: (0, j)
         ires = lambda i, j: (i, 0, 0, j)
         ires0 = lambda i, j: (0, 0, 0, 0)
         iout = lambda i, j: (i, 0, 0, j)
         istat = lambda i, j: (i, 0, j)
         sem = ("parallel", "arbitrary")
+
+    # weights in im2col layout: (n_ck, 9*ck, cout), rows tap-major then
+    # cin within the tile — matching the band concat order in the kernel
+    w9 = kernel.reshape(3, 3, n_ck, ck, cout).transpose(2, 0, 1, 3, 4) \
+        .reshape(n_ck, 9 * ck, cout)
 
     out_shape = [jax.ShapeDtypeStruct((n, h, w, cout), x.dtype)]
     out_specs = [pl.BlockSpec((1, h, w, ct), iout)]
@@ -257,7 +270,7 @@ def _pallas_fused_conv(x, a, b, kernel, bias, res, silu: bool,
             # kernel (a (1, C) block would violate the (8, 128) tiling)
             pl.BlockSpec((n, ck), iab),
             pl.BlockSpec((n, ck), iab),
-            pl.BlockSpec((3, 3, ck, ct), iw),
+            pl.BlockSpec((1, 9 * ck, ct), iw),
             pl.BlockSpec((1, ct), ibias),
             (pl.BlockSpec((1, h, w, ct), ires) if residual
              else pl.BlockSpec((1, 1, 1, ct), ires0)),
@@ -270,7 +283,7 @@ def _pallas_fused_conv(x, a, b, kernel, bias, res, silu: bool,
             dimension_semantics=sem,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(x, a, b, kernel, bias.reshape(1, -1), res)
+    )(x, a, b, w9, bias.reshape(1, -1), res)
     if stats:
         y, s1, s2 = out
         return y, s1.reshape(n, cout), s2.reshape(n, cout)
