@@ -220,37 +220,55 @@ def test_stats_epilogue_pallas_matches(monkeypatch):
 
 
 def test_resblock_stats_chain_matches_unchained():
-    """UNetResBlock with the stats chain == the same math with per-norm
-    statistics recomputed from the activations."""
+    """UNetResBlock (incl. 4-conv temporal stack) with the stats chain ==
+    a fully hand-composed reference that recomputes every GN from the
+    actual activations — an independent check of the chained statistics,
+    the temb-shift fold, and the folded residuals."""
+    from tooncrafter_tpu.ops.temporal_conv import TemporalConv3  # noqa: F401
+
     mod = UNetResBlock(out_channels=64, dropout=0.0, use_temporal_conv=True)
+    t = 2
     x = jax.random.normal(jax.random.PRNGKey(22), (4, 8, 8, 64))
     emb = jax.random.normal(jax.random.PRNGKey(23), (4, 128))
-    params = mod.init(jax.random.PRNGKey(24), x, emb, 2, True)["params"]
+    params = mod.init(jax.random.PRNGKey(24), x, emb, t, True)["params"]
+    # de-zero every conv (incl. the zero-init out_conv and the 5-D
+    # temporal kernels) so every chained stage is observable
     params = jax.tree_util.tree_map(
         lambda p: p + 0.01 if p.ndim >= 4 else p, params)
-    # deterministic=True -> fused+chained; deterministic=False with
-    # dropout=0.0 also takes the fused path, so compare against a
-    # hand-run of the module with stats chaining disabled via norms
-    got = mod.apply({"params": params}, x, emb, 2, True)
+    got = mod.apply({"params": params}, x, emb, t, True)
 
-    from tooncrafter_tpu.models.unet import TemporalConvBlock
-    import tooncrafter_tpu.ops.norms as norms_mod
+    def conv2d(h, p):
+        return jax.lax.conv_general_dilated(
+            h, p["kernel"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["bias"]
 
-    # disable stats usage by intercepting gn_affine_from_stats
-    orig = norms_mod.gn_affine_from_stats
-    calls = []
+    def tconv(h5, p):
+        # nn.Conv((3,1,1)) on (B,T,H,W,C)
+        return jax.lax.conv_general_dilated(
+            h5.reshape(h5.shape[:2] + (-1, h5.shape[-1])),
+            p["kernel"][:, 0], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ).reshape(h5.shape[:-1] + (p["kernel"].shape[-1],)) + p["bias"]
 
-    def spy(s1, s2, spatial, *a, **kw):
-        calls.append(spatial)
-        return orig(s1, s2, spatial, *a, **kw)
+    def gnsilu(h, p):
+        return jax.nn.silu(group_norm(h, p["weight"], p["bias"], 32, 1e-5))
 
-    norms_mod.gn_affine_from_stats = spy
-    try:
-        got2 = mod.apply({"params": params}, x, emb, 2, True)
-    finally:
-        norms_mod.gn_affine_from_stats = orig
-    assert calls, "stats chain not exercised"
-    np.testing.assert_allclose(np.asarray(got), np.asarray(got2))
+    p = params
+    h = conv2d(gnsilu(x, p["in_norm"]), p["in_conv"])
+    e = jax.nn.silu(emb) @ p["emb_proj"]["kernel"] + p["emb_proj"]["bias"]
+    h = h + e[:, None, None, :]
+    h = conv2d(gnsilu(h, p["out_norm"]), p["out_conv"])
+    ref = x + h  # out_channels == cin -> identity skip
+    # temporal stack: 4x (GN+SiLU+tconv), residual at the end
+    tp = p["temporal_conv"]
+    h5 = ref.reshape((2, t) + ref.shape[1:])
+    hh = h5
+    for i in range(1, 5):
+        hh = tconv(gnsilu(hh, tp[f"norm{i}"]), tp[f"conv{i}"])
+    ref5 = h5 + hh
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(ref5.reshape(ref.shape)),
+                               atol=2e-4, rtol=2e-4)
 
 
 def test_ktiled_kernel_matches(monkeypatch):

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from tooncrafter_tpu.ops.norms import GroupNorm, GroupNormAct
+from tooncrafter_tpu.ops.spatial_conv import SpatialConv3x3, UpsampleConv2x
 from tooncrafter_tpu.ops.attention import attention
 
 
@@ -39,8 +40,6 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        from tooncrafter_tpu.ops.spatial_conv import SpatialConv3x3
-
         out_ch = self.out_channels or x.shape[-1]
         in_ch = x.shape[-1]
         norm1 = GroupNormAct(name="norm1")
@@ -102,8 +101,6 @@ class Upsample(nn.Module):
     def __call__(self, x):
         # nearest-2x + SAME conv folded into one input-dilated conv
         # (ops/resize.upsample2x_conv3x3); params stay nn.Conv-shaped
-        from tooncrafter_tpu.ops.spatial_conv import UpsampleConv2x
-
         return UpsampleConv2x(x.shape[-1], dtype=self.dtype,
                               name="conv")(x)
 

@@ -28,11 +28,11 @@ _INTERPRET = False
 _MAX_VMEM_SAMPLE_BYTES = 4 * 1024 * 1024  # bf16 activation bytes per sample
 
 
+from tooncrafter_tpu.ops import _dispatch
+
+
 def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() not in ("cpu", "gpu")
-    except Exception:  # pragma: no cover
-        return False
+    return _dispatch.on_tpu()
 
 
 def _xla_impl(x, scale, bias, num_groups, eps, silu):

@@ -42,11 +42,11 @@ _INTERPRET = False
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
+from tooncrafter_tpu.ops import _dispatch
+
+
 def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() not in ("cpu", "gpu")
-    except Exception:  # pragma: no cover
-        return False
+    return _dispatch.on_tpu()
 
 
 def _vmem_bytes(hw: int, ck: int, cout_t: int, pad_hw: int, wimg: int,
@@ -112,10 +112,14 @@ def _use_kernel(h: int, w: int, cin: int, cout: int) -> bool:
     return _pick_tiles(h, w, cin, cout)[0] > 0
 
 
-@functools.partial(jax.jit, static_argnames=("silu", "stats"))
 def _pallas_fused_conv(x, a, b, kernel, bias, res, silu: bool,
                        stats: bool):
     """x: (N,H,W,C); a/b: (N,C) fp32; kernel: (3,3,C,Cout) in compute
+
+    NOT jit-wrapped on purpose: the tiling reads module globals
+    (_VMEM_BUDGET, _INTERPRET) that tests monkeypatch — a jit cache
+    keyed only on shapes would pin stale executables. Callers are
+    always inside the model's jit anyway.
     dtype; bias: (Cout,); res: (N,H,W,Cout) or None. With stats=True also
     emits per-channel fp32 sums s1/s2 of the (cast) output — the next
     GroupNorm's statistics for free."""

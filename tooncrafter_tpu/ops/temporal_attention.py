@@ -33,11 +33,11 @@ import jax.numpy as jnp
 _INTERPRET = False  # set True to debug off-TPU
 
 
+from tooncrafter_tpu.ops import _dispatch
+
+
 def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() not in ("cpu", "gpu")
-    except Exception:  # pragma: no cover
-        return False
+    return _dispatch.on_tpu()
 
 
 def _pick_ptile(p: int, inner: int, t: int,

@@ -1,8 +1,12 @@
 """Temporal (3,1,1) convolution as three shifted matmuls.
 
-Every temporal-mixing conv in the model (UNet TemporalConvBlock,
-dual-ref TemporalResStack / AE3DConv time_mix) is a kernel-size-(3,1,1)
-conv over (B, T, H, W, C). XLA's conv lowering for that shape walks the T
+Rebuilds the reference's temporal-mixing convs: the UNet
+TemporalConvBlock's 4x nn.Conv3d((3,1,1)) stack
+(/root/reference/lvdm/modules/networks/openaimodel3d.py:239-279), the
+dual-ref decoder's VideoResBlock time_stack
+(lvdm/models/autoencoder_dualref.py:846-911) and AE3DConv time_mix_conv
+(autoencoder_dualref.py:914-935) — every one a kernel-size-(3,1,1) conv
+over (B, T, H, W, C). XLA's conv lowering for that shape walks the T
 window with a stride of H*W*C elements (~10 MB at the decoder's level-2
 resolution) and lands at ~26 TFLOP/s / 35 GB/s on v5e. Expressed as
 
@@ -34,11 +38,11 @@ import jax.numpy as jnp
 _INTERPRET = False
 
 
+from tooncrafter_tpu.ops import _dispatch
+
+
 def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() not in ("cpu", "gpu")
-    except Exception:  # pragma: no cover
-        return False
+    return _dispatch.on_tpu()
 
 
 def _vmem_estimate(t: int, blk: int, cin: int, cout: int) -> int:
@@ -61,9 +65,11 @@ def _use_kernel(t: int, p: int, cin: int, cout: int) -> bool:
             and _pick_ptile(p, cin, t) >= 64 and (_on_tpu() or _INTERPRET))
 
 
-@functools.partial(jax.jit, static_argnames=("silu", "stats"))
 def _pallas_tconv(x, w, b, a_aff, b_aff, res, silu: bool, stats: bool):
     """x: (B, T, P, C); w: (3, C, Cout); b: (1, Cout); a_aff/b_aff:
+
+    (Not jit-wrapped: tiling reads monkeypatchable module globals;
+    see ops/spatial_conv.py.)
     (B, C) fp32 per-sample GN affine applied (with optional SiLU) to x in
     VMEM before the temporal window — the normalized activation never
     touches HBM. res: (B, T, P, Cout) residual added in the epilogue, or
