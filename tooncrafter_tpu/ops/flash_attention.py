@@ -42,6 +42,17 @@ def _pick_block(s: int) -> int:
     return 0
 
 
+def _pick_fwd_blocks(sq: int, sk: int):
+    """(blk_q, blk_k) for the forward kernel — swept on v5e
+    (tools/bench_flash2.py). The standalone winner at the ds1 site
+    (narrow q x full k, 5.64 vs 6.40 ms) measured SLOWER inside the
+    full UNet (288.6 vs 285.7 ms) — kept out; only the giant fusion
+    site's 1024x1024 preference (7.81 vs 8.27 ms) is applied."""
+    if max(sq, sk) >= 8192 and sq % 1024 == 0 and sk % 1024 == 0:
+        return 1024, 1024
+    return _pick_block(sq), _pick_block(sk)
+
+
 def _use_kernel(sq: int, sk: int, d: int) -> bool:
     # Covers every self-attention the model emits (h*w in {2560,640,160},
     # dual-ref fusion 2*S): the XLA fallback materializes fp32 logits in
@@ -253,8 +264,7 @@ def _flash_bh_with_lse(q, k, v, scale: float):
 
     bh, sq, d = q.shape
     sk = k.shape[1]
-    blk_q = _pick_block(sq)
-    blk_k = _pick_block(sk)
+    blk_q, blk_k = _pick_fwd_blocks(sq, sk)
     n_q = pl.cdiv(sq, blk_q)
     n_k = pl.cdiv(sk, blk_k)
 
