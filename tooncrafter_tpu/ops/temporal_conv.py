@@ -67,14 +67,14 @@ def _use_kernel(t: int, p: int, cin: int, cout: int) -> bool:
 
 def _pallas_tconv(x, w, b, a_aff, b_aff, res, silu: bool, stats: bool):
     """x: (B, T, P, C); w: (3, C, Cout); b: (1, Cout); a_aff/b_aff:
-
-    (Not jit-wrapped: tiling reads monkeypatchable module globals;
-    see ops/spatial_conv.py.)
     (B, C) fp32 per-sample GN affine applied (with optional SiLU) to x in
     VMEM before the temporal window — the normalized activation never
     touches HBM. res: (B, T, P, Cout) residual added in the epilogue, or
     None. stats=True emits P-tile-partial per-channel fp32 sums of the
-    cast output, shape (B, n_p, 1, Cout) — reduce over axis 1 outside."""
+    cast output, shape (B, n_p, 1, Cout) — reduce over axis 1 outside.
+
+    (Not jit-wrapped: tiling reads monkeypatchable module globals;
+    see ops/spatial_conv.py.)"""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -182,6 +182,7 @@ def _xla_tconv(x, w, b, a_aff, b_aff, res, silu: bool, stats: bool):
     if res is not None:
         y = y + res.astype(y.dtype)
     if stats:
+        # inline XLA sums on purpose — see ops/spatial_conv._xla_impl
         axes = tuple(range(1, y.ndim - 1))
         s1 = jnp.sum(y, axis=axes, dtype=jnp.float32)
         s2 = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=axes)
