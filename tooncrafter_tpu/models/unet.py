@@ -380,7 +380,12 @@ class TemporalTransformer(nn.Module):
                 and ta.use_kernel(t, hh * ww, self.dim_head, inner=inner))
         h = GroupNormAct(eps=1e-6, act=False, name="norm")(x)
         if fast:
+            # barriers keep the layout transpose a standalone bandwidth
+            # copy instead of a forced-layout fusion into the norm apply
+            # or proj_in matmul (see ops/flash_attention._flash_fwd_impl)
+            h = jax.lax.optimization_barrier(h)
             h = h.reshape(b, t, hh * ww, c).transpose(0, 2, 1, 3)
+            h = jax.lax.optimization_barrier(h)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
         mask = jnp.tril(jnp.ones((t, t), bool)) if self.causal else None
         for d in range(self.depth):
@@ -392,6 +397,7 @@ class TemporalTransformer(nn.Module):
         h = nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
                      name="proj_out")(h)
         if fast:
+            h = jax.lax.optimization_barrier(h)
             h = h.transpose(0, 2, 1, 3).reshape(b, t, hh, ww, c)
         return x + h
 

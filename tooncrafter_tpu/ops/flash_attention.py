@@ -240,6 +240,11 @@ def _flash_fwd_impl(q, k, v, scale: Optional[float] = None):
         return dot_product_attention(q, k, v, scale=scale)
     # (the stock jax.experimental tpu flash kernel was measured 2.8x slower
     # than this one on the model's 2560-token/64-dim shapes)
+    # barrier: without it XLA fuses the head-fold transpose below INTO
+    # the producing q/k/v projection matmuls, forcing a {1,2,0} output
+    # layout that runs them at ~8.6 TF/s (traced); split apart, the
+    # matmul runs at full rate and the transpose is one bandwidth copy
+    q, k, v = jax.lax.optimization_barrier((q, k, v))
     # fold batch and heads; our kernel runs per (b*h)
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
