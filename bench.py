@@ -116,25 +116,28 @@ def main():
             log(f"batch-2 run {i}: {t2s[-1]:.2f}s")
         tput_b2 = 2 * 60.0 / min(t2s)
 
-    # peak HBM (the reference reports ~24 GB on A100, README.md:222)
-    try:
-        stats = jax.local_devices()[0].memory_stats() or {}
-        peak_gb = round(stats.get("peak_bytes_in_use", 0) / 2 ** 30, 2)
-    except Exception:
-        peak_gb = 0.0
-
     metric = ("clip_latency_320x512x16_ddim50_s" if full
               else "clip_latency_tiny_cpu_s")
     vs = BASELINE_S / p50 if full else 0.0
-    print(json.dumps({
+    record = {
         "metric": metric,
         "value": round(p50, 3),
         "unit": "s",
         "vs_baseline": round(vs, 3),
         "clips_per_min_chip": round(60.0 / p50, 3) if full else 0.0,
         "clips_per_min_chip_b2": round(tput_b2, 3),
-        "peak_hbm_gb": peak_gb,
-    }))
+    }
+    # peak HBM (the reference reports ~24 GB on A100, README.md:222);
+    # the axon relay device returns no memory_stats — omit rather than
+    # print a misleading 0
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        if stats.get("peak_bytes_in_use"):
+            record["peak_hbm_gb"] = round(
+                stats["peak_bytes_in_use"] / 2 ** 30, 2)
+    except Exception:
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
