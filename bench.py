@@ -40,7 +40,13 @@ T0 = time.perf_counter()
 
 
 def main():
-    full = jax.default_backend() not in ("cpu",)
+    try:
+        full = jax.default_backend() not in ("cpu",)
+    except Exception:
+        # e.g. JAX_PLATFORMS names a plugin that isn't importable in
+        # this environment — still produce a (CPU, shrunk) signal
+        jax.config.update("jax_platforms", "cpu")
+        full = False
     model, cfg, ddim_steps = build(full)
     from tooncrafter_tpu.sampling.ddim import GuidanceConfig
 
