@@ -287,3 +287,35 @@ def test_ktiled_kernel_matches(monkeypatch):
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_resblock_fused_path_grad_under_remat():
+    """jax.grad through the fused inference-style path (dropout=0.0 in
+    training => stats chains + custom_vjp epilogues + temb fold), wrapped
+    in nn.remat like the UNet does — the combination a user hits with a
+    dropout: 0.0 training config."""
+    import flax.linen as fnn
+
+    cls = fnn.remat(UNetResBlock, static_argnums=(3, 4))
+    mod = cls(out_channels=32, dropout=0.0, use_temporal_conv=True)
+    x = jax.random.normal(jax.random.PRNGKey(30), (4, 8, 8, 32))
+    emb = jax.random.normal(jax.random.PRNGKey(31), (4, 64))
+    rngs = {"params": jax.random.PRNGKey(32),
+            "dropout": jax.random.PRNGKey(33)}
+    params = mod.init(rngs, x, emb, 2, False)
+    # de-zero the zero-init convs so gradient paths are observable
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 if p.ndim >= 4 else p, params)
+
+    def loss(params, x):
+        return jnp.sum(mod.apply(params, x, emb, 2, False,
+                                 rngs={"dropout": jax.random.PRNGKey(34)})
+                       ** 2)
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+    leaves = jax.tree_util.tree_leaves(gp)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+    assert bool(jnp.all(jnp.isfinite(gx)))
+    # in_conv kernel must receive signal through the chained path
+    gk = gp["params"]["in_conv"]["kernel"]
+    assert float(jnp.max(jnp.abs(gk))) > 0
