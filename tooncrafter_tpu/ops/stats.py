@@ -14,7 +14,11 @@ this kernel under gn_affine, 292.1 with it under the conv stats
 epilogues) — the profiler attributes conv+reduce fusion time to the
 reduce op, but XLA actually streams the stats out of the producing
 fusion for free, and forcing a separate Pallas pass re-reads the
-activation. Kept for standalone-stats uses where no producer exists.
+activation. The same held at decoder scale (full-res 16x320x512
+slabs: 354.7 ms decode with inline sums vs 373.8 through this kernel) —
+3 for 3, so treat trace-attributed "slow reduce" time as an artifact
+and only trust end-to-end A/B. Kept for standalone-stats uses where no
+producer exists.
 
 Used by the fp32 GroupNorm rebuild of the reference's normalization
 (`/root/reference/lvdm/basics.py:76-87`); the math is shared with every
