@@ -116,3 +116,15 @@ def test_rescale_noise_cfg_interpolates():
     std_out = np.asarray(out1).std(axis=(1, 2, 3))
     std_b = np.asarray(b).std(axis=(1, 2, 3))
     np.testing.assert_allclose(std_out, std_b, rtol=2e-2)
+
+
+def test_unknown_spacing_and_schedule_raise():
+    """Error paths: unknown names fail loudly (the reference raises
+    NotImplementedError for unknown ddim discretization too,
+    utils_diffusion.py:74-76)."""
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="bogus"):
+        S.make_ddim_timesteps("bogus", 50, 1000)
+    with pytest.raises((ValueError, NotImplementedError, KeyError)):
+        S.build_schedule(beta_schedule="nonsense")
