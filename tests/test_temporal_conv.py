@@ -48,6 +48,27 @@ def test_dispatch_conditions():
     assert not tc._use_kernel(16, 100, 128, 128)    # no tile divides P
 
 
+def test_silu_without_affine_consistent_across_backends():
+    """silu=True, affine=None must mean SiLU(x) -> conv on BOTH backends
+    (the Pallas path synthesizes an identity affine, so the XLA form has
+    to apply SiLU independently of the affine)."""
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 16, 16, 128))
+    w = jax.random.normal(jax.random.PRNGKey(8), (3, 128, 128)) * 0.05
+    b = jnp.zeros((128,))
+    ref = tc.temporal_conv3(jax.nn.silu(x), w, b)
+    got_xla = tc._xla_tconv(x, w, b, None, None, None, True, False)
+    np.testing.assert_allclose(np.asarray(got_xla), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    old = tc._INTERPRET
+    tc._INTERPRET = True
+    try:
+        got_k = tc.temporal_conv3(x, w, b, silu=True)
+    finally:
+        tc._INTERPRET = old
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_fused_prologue_matches_unfused():
     """temporal_conv3 with a folded GN+SiLU prologue == GN -> SiLU -> conv."""
     from tooncrafter_tpu.ops.norms import gn_affine, group_norm

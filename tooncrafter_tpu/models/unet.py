@@ -212,6 +212,11 @@ class CrossAttention(nn.Module):
             # coverage conditions hold (no mask, no rel-pos, TPU backend).
             assert self_attn
             from tooncrafter_tpu.ops import temporal_attention as ta
+            assert ta.use_kernel(x.shape[2], x.shape[1], self.dim_head,
+                                 inner=inner), (
+                "4-D (B,P,T,C) input requires temporal-kernel coverage "
+                f"(P={x.shape[1]}, T={x.shape[2]}, d={self.dim_head}); "
+                "use the 5-D layout otherwise")
             k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                          name="to_k")(x)
             v = nn.Dense(inner, use_bias=False, dtype=self.dtype,

@@ -167,10 +167,11 @@ def _pallas_tconv(x, w, b, a_aff, b_aff, res, silu: bool, stats: bool):
 def _xla_tconv(x, w, b, a_aff, b_aff, res, silu: bool, stats: bool):
     """Shifted-matmul reference form. x: (B, T, *spatial, C)."""
     t = x.shape[1]
-    if a_aff is not None:
-        bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
-        z = x.astype(jnp.float32) * a_aff.reshape(bshape) \
-            + b_aff.reshape(bshape)
+    if a_aff is not None or silu:
+        z = x.astype(jnp.float32)
+        if a_aff is not None:
+            bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+            z = z * a_aff.reshape(bshape) + b_aff.reshape(bshape)
         if silu:
             z = z * jax.nn.sigmoid(z)
         x = z.astype(x.dtype)
