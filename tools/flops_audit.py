@@ -152,7 +152,9 @@ def main():
                                  guidance, ddim_steps=50)
 
         for b in (1, 2):
-            x_T = jnp.zeros((b, t, lh, lw, 4), jnp.bfloat16)
+            # fp32 latent carry, exactly like Pipeline._denoise (x_T comes
+            # from jax.random.normal; schedule math is fp32)
+            x_T = jnp.zeros((b, t, lh, lw, 4), jnp.float32)
             contexts = jnp.zeros((2, b, 77 + t * 16, 1024), jnp.bfloat16)
             concat = jnp.zeros((b, t, lh, lw, 4), jnp.bfloat16)
             fs = jnp.full((b,), 10.0)

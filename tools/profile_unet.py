@@ -120,18 +120,25 @@ def main():
     t0 = time.time()
     fwd, inputs = build_forward()
     print(f"[{time.time()-t0:.1f}s] built; compiling...", flush=True)
-    sync(fwd(*inputs))
-    print(f"[{time.time()-t0:.1f}s] compiled; timing...", flush=True)
+    compiled = fwd.lower(*inputs).compile()
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        tflop = float(ca.get("flops", 0.0)) / 1e12
+    except Exception:
+        tflop = 20.47  # XLA cost_analysis, audit r02 (.audit_r02.jsonl)
+    sync(compiled(*inputs))
+    print(f"[{time.time()-t0:.1f}s] compiled ({tflop:.2f} TFLOP); timing...",
+          flush=True)
 
     times = []
     for _ in range(args.steps):
         s = time.perf_counter()
-        sync(fwd(*inputs))
+        sync(compiled(*inputs))
         times.append(time.perf_counter() - s)
     times.sort()
     med = times[len(times) // 2]
-    # FLOP count from prior round's measurement: 25.2 TFLOP per CFG fwd
-    tflop = 25.2
     print(f"median forward: {med*1e3:.1f} ms  "
           f"=> {tflop/med:.1f} TFLOP/s  "
           f"MFU {100*tflop/med/V5E_PEAK_TFLOPS:.1f}%")

@@ -46,7 +46,9 @@ def get_parser():
     p.add_argument("--cfg_img", type=float, default=None)
     p.add_argument("--timestep_spacing", type=str, default="uniform_trailing")
     p.add_argument("--guidance_rescale", type=float, default=0.0)
-    p.add_argument("--perframe_ae", action="store_true")
+    # default=None: fall back to the model YAML's `perframe_ae` key
+    # (inference_512_v1.0.yaml:23) when the flag isn't given
+    p.add_argument("--perframe_ae", action="store_true", default=None)
     p.add_argument("--loop", action="store_true")
     p.add_argument("--interp", action="store_true")
     p.add_argument("--bpe_path", type=str, default=None,
@@ -91,6 +93,16 @@ def load_data_prompts(data_dir, video_size, video_frames, interp):
 def main(argv=None):
     args = get_parser().parse_args(argv)
     import jax
+
+    # Honor an explicit JAX_PLATFORMS env var through the config knob: on
+    # hosts whose sitecustomize force-registers a TPU plugin, the env var
+    # alone loses and a "cpu" subprocess silently lands on the TPU
+    # (contending with the real workload).
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from tooncrafter_tpu.config import model_config_from_yaml
@@ -126,6 +138,12 @@ def main(argv=None):
     tokenizer = None
     if args.bpe_path:
         tokenizer = ClipTokenizer(bpe_path=args.bpe_path)
+    elif args.text_input:
+        import warnings
+
+        warnings.warn(
+            "--text_input without --bpe_path: prompts will be IGNORED "
+            "(zero tokens for both cond and uncond)", stacklevel=2)
 
     names, data, prompts = load_data_prompts(
         args.prompt_dir, (args.height, args.width), args.video_length,
@@ -144,34 +162,51 @@ def main(argv=None):
 
     from tooncrafter_tpu.models.diffusion import Pipeline
 
+    perframe_ae = (cfg.perframe_ae if args.perframe_ae is None
+                   else args.perframe_ae)
     jpipe = Pipeline(
         model, ddim_steps=args.ddim_steps, eta=args.ddim_eta,
         spacing=args.timestep_spacing, guidance=guidance,
         mode="interp" if (args.interp or args.loop) else "repeat",
-        perframe_ae=args.perframe_ae)
+        perframe_ae=perframe_ae)
     os.makedirs(os.path.join(args.savedir, "samples_separate"),
                 exist_ok=True)
-    for idx in range(sel.start or 0, sel.stop or len(prompts)):
-        prompt = prompts[idx] if args.text_input else ""
+
+    # batched inference over --bs prompts per pipeline call (reference
+    # inference.py:323-342). The tail batch is padded by repeating its last
+    # prompt so the jitted pipeline keeps ONE compiled batch shape; padded
+    # outputs are dropped. Per-item keys (utils/rngs.py) keyed by global
+    # prompt index make any --bs reproduce the --bs 1 outputs exactly.
+    from tooncrafter_tpu.utils import rngs as R
+
+    idx_list = list(range(sel.start or 0, sel.stop or len(prompts)))
+    bs = max(1, args.bs)
+    for i0 in range(0, len(idx_list), bs):
+        chunk = idx_list[i0:i0 + bs]
+        padded = chunk + [chunk[-1]] * (bs - len(chunk))
+        batch_prompts = [prompts[j] if args.text_input else ""
+                         for j in padded]
         if tokenizer is not None:
-            tokens = jnp.asarray(tokenizer([prompt]))
-            null_tokens = jnp.asarray(tokenizer([""]))
+            tokens = jnp.asarray(tokenizer(batch_prompts))
+            null_tokens = jnp.tile(jnp.asarray(tokenizer([""])), (bs, 1))
         else:
-            tokens = jnp.zeros((1, 77), jnp.int32)
-            null_tokens = jnp.zeros((1, 77), jnp.int32)
-        video = jnp.asarray(data[idx][None])  # (1,T,H,W,3)
-        fs = jnp.full((1,), float(args.frame_stride))
+            tokens = jnp.zeros((bs, 77), jnp.int32)
+            null_tokens = jnp.zeros((bs, 77), jnp.int32)
+        video = jnp.asarray(np.stack([data[j] for j in padded]))
+        fs = jnp.full((bs,), float(args.frame_stride))
         for n in range(args.n_samples):
-            rng, sub = jax.random.split(rng)
-            out = jpipe(params, video, tokens, null_tokens, fs, sub)
-            out_np = np.asarray(out[0], np.float32)
-            if args.loop:
-                out_np = out_np[:-1]
-            stem = os.path.splitext(names[idx])[0]
-            path = os.path.join(args.savedir, "samples_separate",
-                                f"{stem}_sample{n}.mp4")
-            written = write_video(path, out_np, fps=args.save_fps)
-            print(f"saved {written}")
+            keys = R.per_item_keys(
+                rng, [j * args.n_samples + n for j in padded])
+            out = jpipe(params, video, tokens, null_tokens, fs, keys)
+            for k, idx in enumerate(chunk):
+                out_np = np.asarray(out[k], np.float32)
+                if args.loop:
+                    out_np = out_np[:-1]
+                stem = os.path.splitext(names[idx])[0]
+                path = os.path.join(args.savedir, "samples_separate",
+                                    f"{stem}_sample{n}.mp4")
+                written = write_video(path, out_np, fps=args.save_fps)
+                print(f"saved {written}")
     print(f"Saved in {args.savedir}. Time used: "
           f"{time.time() - t_start:.2f} seconds")
 

@@ -54,8 +54,15 @@ class Image2Video:
             self.params, _ = load_checkpoint(ckpt_path, cfg, template)
         else:
             self.params = self.model.init_params(rng)
-        self.tokenizer = (ClipTokenizer(bpe_path=bpe_path) if bpe_path
-                          else None)
+        if bpe_path:
+            self.tokenizer = ClipTokenizer(bpe_path=bpe_path)
+        else:
+            import warnings
+
+            warnings.warn(
+                "no bpe_path: prompts will be IGNORED (zero tokens for both "
+                "cond and uncond) — smoke mode only", stacklevel=2)
+            self.tokenizer = None
         self._jitted = None
 
     def _pipeline(self, steps: int, cfg_scale: float, eta: float,

@@ -44,6 +44,14 @@ def get_parser():
 def main(argv=None):
     args = get_parser().parse_args(argv)
     import jax
+
+    # honor an explicit JAX_PLATFORMS env var (see cli/inference.py — on
+    # hosts with a force-registered TPU plugin the env var alone loses)
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from tooncrafter_tpu.config import load_yaml, model_config_from_dict
@@ -71,8 +79,16 @@ def main(argv=None):
     train_d = dcfg.get("train", {}).get("params", {})
     base_lr = raw.get("model", {}).get("base_learning_rate", 1e-5)
     bs = dcfg.get("batch_size", 1)
-    tokenizer = (ClipTokenizer(bpe_path=args.bpe_path)
-                 if args.bpe_path else ClipTokenizer(merges=[]))
+    if args.bpe_path:
+        tokenizer = ClipTokenizer(bpe_path=args.bpe_path)
+    else:
+        import warnings
+
+        warnings.warn(
+            "no --bpe_path: falling back to byte-level tokenization, which "
+            "matches NO released CLIP checkpoint — text conditioning will "
+            "be garbage outside smoke runs", stacklevel=2)
+        tokenizer = ClipTokenizer(merges=[])
     ds = WebVidDataset(
         meta_path=train_d.get("meta_path", ""),
         data_dir=train_d.get("data_dir", ""),
@@ -153,6 +169,7 @@ def main(argv=None):
         return
 
     probe = None
+    val_iter = iter(val_loader) if val_loader is not None else None
     step = int(state.step)
     while step < args.max_steps:
         for batch in loader:
@@ -163,6 +180,7 @@ def main(argv=None):
                 "tokens": jnp.asarray(batch["tokens"]),
                 "null_tokens": jnp.asarray(batch["null_tokens"]),
                 "fs": jnp.asarray(batch["fs"]),
+                "fps": jnp.asarray(batch["fps"]),
             }
             jb = jax.device_put(jb, M.batch_sharding(mesh))
             rng, sub = jax.random.split(rng)
@@ -184,12 +202,20 @@ def main(argv=None):
             if out:
                 print(f"sampled video -> {out}")
             if val_loader is not None and step % args.val_every == 0:
-                vb = next(iter(val_loader))
+                # persistent iterator: cycle through the split across events
+                # instead of re-spawning a loader and validating on its
+                # first batch forever
+                try:
+                    vb = next(val_iter)
+                except StopIteration:
+                    val_iter = iter(val_loader)
+                    vb = next(val_iter)
                 vjb = {
                     "video": jnp.asarray(vb["video"]),
                     "tokens": jnp.asarray(vb["tokens"]),
                     "null_tokens": jnp.asarray(vb["null_tokens"]),
                     "fs": jnp.asarray(vb["fs"]),
+                    "fps": jnp.asarray(vb["fps"]),
                 }
                 vjb = jax.device_put(vjb, M.batch_sharding(mesh))
                 rng, sub = jax.random.split(rng)

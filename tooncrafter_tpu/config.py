@@ -87,6 +87,9 @@ def model_config_from_dict(cfg: Dict[str, Any]) -> ModelConfig:
         uncond_type=p.get("uncond_type", "empty_seq"),
         use_dynamic_rescale=p.get("use_dynamic_rescale", True),
         base_scale=p.get("base_scale", 0.7),
+        fps_condition_type=p.get("fps_condition_type", "fs"),
+        perframe_ae=p.get("perframe_ae", False),
+        loop_video=p.get("loop_video", False),
         video_length=unet.get("temporal_length", 16),
         latent_h=image_size[0],
         latent_w=image_size[1],

@@ -34,6 +34,7 @@ from tooncrafter_tpu.models.vae import AutoencoderKL, DiagonalGaussian
 from tooncrafter_tpu.models.vae_dualref import DualRefVideoDecoder
 from tooncrafter_tpu.ops import schedule as S
 from tooncrafter_tpu.sampling.ddim import GuidanceConfig, ddim_sample
+from tooncrafter_tpu.utils import rngs as R
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +54,16 @@ class ModelConfig:
     use_dynamic_rescale: bool = True
     base_scale: float = 0.7
     turning_step: int = 400
+    # which batch signal feeds the fps embedding during training:
+    # 'fs' -> frame_stride, 'fps' -> real fps (ddpm3d.py:486,1124-1129);
+    # the shipped ToonCrafter YAMLs set 'fps'
+    fps_condition_type: str = "fs"
+    # model-level memory behavior: chunked per-frame VAE passes
+    # (ddpm3d.py:487,631,656); CLI --perframe_ae overrides when passed
+    perframe_ae: bool = False
+    # parsed for config parity; stored-but-never-read in the reference too
+    # (ddpm3d.py:485,506 — loop behavior is driven by the CLI --loop flag)
+    loop_video: bool = False
     # geometry
     video_length: int = 16
     latent_h: int = 40
@@ -253,8 +264,18 @@ class ToonCrafter:
             taps = [jnp.concatenate([p[1][l] for p in parts], axis=0)
                     for l in range(len(parts[0][1]))]
         post = DiagonalGaussian(moments)
-        z = post.sample(rng) if (sample_posterior and rng is not None) \
-            else post.mode()
+        if sample_posterior and rng is not None:
+            if R.is_batched(rng):
+                # per-item keys: draw each clip's posterior noise from its
+                # own key so encode is batch-size invariant
+                noise = R.normal(rng, (b, t) + post.mean.shape[1:],
+                                 post.mean.dtype)
+                noise = noise.reshape(post.mean.shape)
+                z = post.mean + post.std * noise
+            else:
+                z = post.sample(rng)
+        else:
+            z = post.mode()
         z = z.reshape((b, t) + z.shape[1:]) * self.config.scale_factor
         refs = []
         for tap in taps:
@@ -384,8 +405,8 @@ class Pipeline:
 
         @jax.jit
         def denoise(params, z_shape_like, contexts, concat, fs, rng):
-            r1, r2 = jax.random.split(rng)
-            x_T = jax.random.normal(r1, z_shape_like.shape)
+            r1, r2 = R.split(rng)
+            x_T = R.normal(r1, z_shape_like.shape)
             return m.denoise(params, x_T, contexts, concat, fs, r2,
                              self.guidance, **self._ddim)
 
@@ -402,8 +423,10 @@ class Pipeline:
     def __call__(self, params, video, tokens, null_tokens, fs, rng):
         # distinct keys per phase: _encode consumes its key in the VAE
         # posterior sample; reusing it for the denoise noise would correlate
-        # the two streams
-        enc_rng, den_rng = jax.random.split(rng)
+        # the two streams. `rng` may be one key OR a (B,2) per-item key
+        # stack (utils/rngs.py) — the latter makes every draw per-clip, so
+        # batched runs reproduce B=1 runs exactly
+        enc_rng, den_rng = R.split(rng)
         z, refs, concat = self._encode(params, video, enc_rng)
         contexts = self._conditioning(params, tokens, null_tokens,
                                       video[:, 0])

@@ -26,6 +26,7 @@ import numpy as np
 
 from tooncrafter_tpu.ops.schedule import (DDIMSchedule, DiffusionSchedule,
                                           rescale_noise_cfg)
+from tooncrafter_tpu.utils import rngs as R
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,14 +97,14 @@ def ddim_sample(
     def step(carry, per_step):
         x, rng = carry
         t_idx, a_t, a_prev, sigma, rescale = per_step
-        rng, nrng = jax.random.split(rng)
+        rng, nrng = R.split(rng)
 
         if mask is not None:
             assert x0 is not None, "mask blending requires x0"
-            rng, mrng = jax.random.split(rng)
+            rng, mrng = R.split(rng)
             t_b0 = jnp.full((x.shape[0],), t_idx, jnp.int32)
             orig = x0 if clean_cond else sched.q_sample(
-                x0, t_b0, jax.random.normal(mrng, x.shape, x.dtype))
+                x0, t_b0, R.normal(mrng, x.shape, x.dtype))
             x = orig * mask + (1.0 - mask) * x
 
         xin = jnp.tile(x, (n,) + (1,) * (x.ndim - 1))
@@ -137,7 +138,7 @@ def ddim_sample(
         pred_x0 = pred_x0 * rescale  # dynamic rescale (ddim.py:262-266)
 
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * e_t
-        noise = sigma * jax.random.normal(nrng, x.shape, x.dtype)
+        noise = sigma * R.normal(nrng, x.shape, x.dtype)
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
         return (x_prev, rng), None
 

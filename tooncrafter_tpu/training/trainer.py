@@ -85,10 +85,18 @@ def diffusion_loss(model: ToonCrafter, train_params, frozen_params, batch,
                    rng, uncond_prob: float = 0.05,
                    rand_cond_frame: bool = True, train: bool = True):
     """batch: {'video': (B,T,H,W,3) in [-1,1], 'tokens': (B,77) int32,
-    'null_tokens': (B,77), 'fs': (B,)}.
+    'null_tokens': (B,77), 'fs': (B,) frame strides, 'fps': (B,) real fps}.
+
+    The fps-embedding input is selected by the model's
+    `fps_condition_type` — 'fs' feeds frame_stride, 'fps' feeds the clip
+    fps (ddpm3d.py:1124-1129; the shipped training YAML uses 'fps').
 
     Returns (loss, metrics)."""
     params = {**train_params, **frozen_params}
+    fct = model.config.fps_condition_type
+    if fct not in ("fs", "fps"):
+        raise ValueError(f"unknown fps_condition_type '{fct}'")
+    fs_signal = batch["fs"] if fct == "fs" else batch["fps"]
     sched = model.schedule
     video = batch["video"]
     b, t = video.shape[:2]
@@ -135,7 +143,7 @@ def diffusion_loss(model: ToonCrafter, train_params, frozen_params, batch,
     unet_in = jnp.concatenate([x_noisy, concat], axis=-1)
     pred = model.unet.apply(
         {"params": params["unet"]}, unet_in, ts.astype(jnp.float32), context,
-        batch["fs"].astype(jnp.float32), deterministic=not train,
+        fs_signal.astype(jnp.float32), deterministic=not train,
         rngs={"dropout": rngs[5]} if train else None)
 
     loss_simple = jnp.mean(jnp.square(pred - target), axis=(1, 2, 3, 4))

@@ -65,13 +65,21 @@ def video_psnr(a, b):
     return jnp.mean(psnr(a, b), axis=-1)
 
 
-def lpips(a, b, feature_fn=None):
-    """Perceptual distance given a feature extractor
-    `feature_fn(images) -> list of (B, H_l, W_l, C_l)`; raises if no
-    extractor is supplied (pretrained weights are an external artifact)."""
+def lpips(a, b, feature_fn=None, params=None):
+    """Perceptual distance. Preferred path: pass `params` from
+    models/lpips.load_lpips_params (torchvision VGG16 + lpips lin weights)
+    to run the full LPIPS head (models/lpips.py, parity-tested). Legacy
+    path: a bare `feature_fn(images) -> list of (B,H_l,W_l,C_l)` gives the
+    unweighted variant. Weights remain an external artifact."""
+    if params is not None:
+        from tooncrafter_tpu.models.lpips import LPIPS
+
+        return LPIPS().apply({"params": params}, a, b)
     if feature_fn is None:
-        raise ValueError("lpips requires a pretrained feature extractor; "
-                         "pass feature_fn (e.g. a converted VGG tower)")
+        raise ValueError(
+            "lpips needs weights: pass params= from "
+            "tooncrafter_tpu.models.lpips.load_lpips_params (torchvision "
+            "vgg16 features + lpips lin state dicts), or a raw feature_fn")
     fa = feature_fn(a)
     fb = feature_fn(b)
     dist = 0.0
