@@ -152,13 +152,47 @@ class UNetResBlock(nn.Module):
         return h
 
 
+import os as _os
+
+# Which projection sites get flattened to explicit 2-D GEMMs:
+#   "none" (default) — plain Dense everywhere
+#   "4d"  — only rank-4 (temporal-stack) operands
+#   "all" — every site
+# A/B on v5e (CFG fwd, tools/profile_unet.py): none 282.7 ms,
+# 4d 292.7, all 300.7 — flattening removes the pixel-minor dot
+# layouts (zero {1,3,2,0} left in the compiled HLO) but the reshape
+# boundaries it adds cost more than the slow dots they fix. Parked.
+_DENSE2D_POLICY = _os.environ.get("TC_DENSE2D", "none")
+
+
+def _dense2d(mod, x):
+    """Apply a Dense over the last axis, flattening leading axes to an
+    explicit 2-D GEMM when the site policy calls for it.
+
+    Motivation: dots over rank-3/4 operands can inherit pixel-minor
+    layouts around the attention custom calls (profiled at 9-17 TF/s for
+    the temporal-stack projections, vs 176 TF/s for the identical GEMM on
+    flattened operands). Flattening pins the fast 2-D path — but the A/B
+    above shows the forced reshape materializations cost more, so the
+    default leaves every site un-flattened.
+    """
+    flatten = (_DENSE2D_POLICY == "all"
+               or (_DENSE2D_POLICY == "4d" and x.ndim >= 4))
+    if not flatten or x.ndim <= 2:
+        return mod(x)
+    lead = x.shape[:-1]
+    y = mod(x.reshape((-1, x.shape[-1])))
+    return y.reshape(lead + y.shape[-1:])
+
+
 class GEGLU(nn.Module):
     dim_out: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h = _dense2d(nn.Dense(self.dim_out * 2, dtype=self.dtype,
+                              name="proj"), x)
         h, gate = jnp.split(h, 2, axis=-1)
         return h * jax.nn.gelu(gate, approximate=False)
 
@@ -173,7 +207,7 @@ class FeedForward(nn.Module):
         dim = x.shape[-1]
         h = GEGLU(dim * self.mult, self.dtype, name="geglu")(x)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(dim, dtype=self.dtype, name="out")(h)
+        return _dense2d(nn.Dense(dim, dtype=self.dtype, name="out"), h)
 
 
 class CrossAttention(nn.Module):
@@ -202,7 +236,8 @@ class CrossAttention(nn.Module):
         inner = self.heads * self.dim_head
         self_attn = context is None
         ctx = x if self_attn else context
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        q = _dense2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                              name="to_q"), x)
         out_dim = x.shape[-1]
 
         if x.ndim == 4:
@@ -217,23 +252,24 @@ class CrossAttention(nn.Module):
                 "4-D (B,P,T,C) input requires temporal-kernel coverage "
                 f"(P={x.shape[1]}, T={x.shape[2]}, d={self.dim_head}); "
                 "use the 5-D layout otherwise")
-            k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                         name="to_k")(x)
-            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                         name="to_v")(x)
+            k = _dense2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                                  name="to_k"), x)
+            v = _dense2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                                  name="to_v"), x)
             out = ta.temporal_attention_ptc(
                 q, k, v, heads=self.heads, scale=self.dim_head ** -0.5)
-            out = nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
+            out = _dense2d(nn.Dense(out_dim, dtype=self.dtype,
+                                    name="to_out"), out)
             return nn.Dropout(self.dropout,
                               deterministic=deterministic)(out)
 
         if x.ndim == 5:
             # temporal in-place path: (B,T,H,W,C), attention over T
             assert self_attn
-            k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                         name="to_k")(x)
-            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                         name="to_v")(x)
+            k = _dense2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                                  name="to_k"), x)
+            v = _dense2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                                  name="to_v"), x)
             rel_k = rel_v = None
             if self.relative_position:
                 # learned relative-position tables, xavier init
@@ -255,22 +291,23 @@ class CrossAttention(nn.Module):
             out = temporal_attention_inplace(q, k, v, heads=self.heads,
                                              mask=mask, rel_k=rel_k,
                                              rel_v=rel_v)
-            out = nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
+            out = _dense2d(nn.Dense(out_dim, dtype=self.dtype,
+                                    name="to_out"), out)
             return nn.Dropout(self.dropout,
                               deterministic=deterministic)(out)
 
         if self.image_branch and not self_attn:
             ctx_text = ctx[:, :self.text_len]
             ctx_img = ctx[:, self.text_len:]
-            k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                         name="to_k")(ctx_text)
-            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                         name="to_v")(ctx_text)
+            k = _dense2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                                  name="to_k"), ctx_text)
+            v = _dense2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                                  name="to_v"), ctx_text)
             out = attention(q, k, v, heads=self.heads, mask=mask)
-            k_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                            name="to_k_ip")(ctx_img)
-            v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                            name="to_v_ip")(ctx_img)
+            k_ip = _dense2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                                     name="to_k_ip"), ctx_img)
+            v_ip = _dense2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                                     name="to_v_ip"), ctx_img)
             out_ip = attention(q, k_ip, v_ip, heads=self.heads)
             scale_ip = self.ip_scale
             if self.ip_scale_learnable:
@@ -281,12 +318,13 @@ class CrossAttention(nn.Module):
         else:
             if not self_attn:
                 ctx = ctx[:, :self.text_len]
-            k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                         name="to_k")(ctx)
-            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                         name="to_v")(ctx)
+            k = _dense2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                                  name="to_k"), ctx)
+            v = _dense2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                                  name="to_v"), ctx)
             out = attention(q, k, v, heads=self.heads, mask=mask)
-        out = nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
+        out = _dense2d(nn.Dense(out_dim, dtype=self.dtype, name="to_out"),
+                       out)
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)
 
 
@@ -345,15 +383,15 @@ class SpatialTransformer(nn.Module):
         inner = self.heads * self.dim_head
         h = GroupNormAct(eps=1e-6, act=False, name="norm")(x)
         h = h.reshape(bt, hh * ww, c)
-        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        h = _dense2d(nn.Dense(inner, dtype=self.dtype, name="proj_in"), h)
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.heads, self.dim_head, image_branch=self.image_branch,
                 ip_scale_learnable=self.ip_scale_learnable,
                 dropout=self.dropout, dtype=self.dtype, name=f"block_{d}",
             )(h, context, deterministic=deterministic)
-        h = nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
-                     name="proj_out")(h)
+        h = _dense2d(nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
+                              name="proj_out"), h)
         return x + h.reshape(bt, hh, ww, c)
 
 
@@ -391,7 +429,7 @@ class TemporalTransformer(nn.Module):
             h = jax.lax.optimization_barrier(h)
             h = h.reshape(b, t, hh * ww, c).transpose(0, 2, 1, 3)
             h = jax.lax.optimization_barrier(h)
-        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        h = _dense2d(nn.Dense(inner, dtype=self.dtype, name="proj_in"), h)
         mask = jnp.tril(jnp.ones((t, t), bool)) if self.causal else None
         for d in range(self.depth):
             h = BasicTransformerBlock(
@@ -399,8 +437,8 @@ class TemporalTransformer(nn.Module):
                 relative_position=self.relative_position, temporal_length=t,
                 dropout=self.dropout, dtype=self.dtype, name=f"block_{d}",
             )(h, None, mask, deterministic=deterministic)
-        h = nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
-                     name="proj_out")(h)
+        h = _dense2d(nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
+                              name="proj_out"), h)
         if fast:
             h = jax.lax.optimization_barrier(h)
             h = h.transpose(0, 2, 1, 3).reshape(b, t, hh, ww, c)
