@@ -197,6 +197,32 @@ class GEGLU(nn.Module):
         return h * jax.nn.gelu(gate, approximate=False)
 
 
+class _DenseParams(nn.Module):
+    """Creates nn.Dense-compatible params (kernel + bias) and returns
+    them raw, so fused kernels can consume the weights while the param
+    tree stays byte-identical to the unfused nn.Dense path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+class _GEGLUParams(nn.Module):
+    """Param-tree twin of GEGLU (geglu/proj/{kernel,bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return _DenseParams(self.features * 2, name="proj")(in_features)
+
+
 class FeedForward(nn.Module):
     mult: int = 4
     dropout: float = 0.0
@@ -204,8 +230,22 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        from tooncrafter_tpu.ops import fused_ff
+
         dim = x.shape[-1]
-        h = GEGLU(dim * self.mult, self.dtype, name="geglu")(x)
+        inner = dim * self.mult
+        # Fused Pallas path: GEGLU proj + gate + out-GEMM in VMEM, no
+        # HBM round-trip for the 2*inner-wide intermediate (the single
+        # largest traffic source in the UNet — see ops/fused_ff.py).
+        # Only when dropout is inactive (the kernel has no mask input).
+        if ((deterministic or self.dropout == 0.0)
+                and fused_ff.use_kernel(x.size // dim, dim, inner)):
+            w1, b1 = _GEGLUParams(inner, name="geglu")(dim)
+            w2, b2 = _DenseParams(dim, name="out")(inner)
+            return fused_ff.fused_geglu_ff(
+                x, w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype))
+        h = GEGLU(inner, self.dtype, name="geglu")(x)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return _dense2d(nn.Dense(dim, dtype=self.dtype, name="out"), h)
 
