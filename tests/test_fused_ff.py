@@ -89,15 +89,86 @@ def test_grads_flow_through_custom_vjp(monkeypatch):
 def test_dispatch_envelope(monkeypatch):
     monkeypatch.setattr(fused_ff, "_on_tpu", lambda: True)
     # UNet FF sites: spatial/temporal ds1 + ds2 + init_attn
-    assert fused_ff.use_kernel(2 * 2560 * 16, 320, 1280)   # ds1
-    assert fused_ff.use_kernel(2 * 640 * 16, 640, 2560)    # ds2
-    # ds4 (C=1280): weights exceed VMEM -> XLA
-    assert not fused_ff.use_kernel(2 * 160 * 16, 1280, 5120)
+    assert fused_ff._mode(2 * 2560 * 16, 320, 1280, 320) == "resident"
+    assert fused_ff._mode(2 * 640 * 16, 640, 2560, 640) == "resident"
+    # ds4 (C=1280): weights exceed VMEM -> streamed-chunk kernel
+    assert fused_ff._mode(2 * 160 * 16, 1280, 5120, 1280) == "streamed"
+    assert fused_ff.use_kernel(2 * 160 * 16, 1280, 5120)
+    # mid block (B=2 CFG, 40 tokens x 16 frames): streamed single tile
+    assert fused_ff._mode(2 * 40 * 16, 1280, 5120, 1280) == "streamed"
     # non-divisible token counts -> XLA
     assert not fused_ff.use_kernel(100, 320, 1280)
     # CPU -> XLA
     monkeypatch.setattr(fused_ff, "_on_tpu", lambda: False)
     assert not fused_ff.use_kernel(2 * 2560 * 16, 320, 1280)
+
+
+def test_streamed_kernel_matches_xla(monkeypatch):
+    # force the streamed path on a small shape by shrinking the
+    # resident budget so _mode picks "streamed"
+    monkeypatch.setattr(fused_ff, "_INTERPRET", True)
+    monkeypatch.setattr(fused_ff, "_pick_tile",
+                        lambda n, c, d, budget=0: 0)
+    x, w1, b1, w2, b2 = _mk(512, 256)
+    assert fused_ff._mode(512, 256, 1024, 256) == "streamed"
+    got = fused_ff.fused_geglu_ff(x, w1, b1, w2, b2)
+    want = fused_ff._xla_ff(x, w1, b1[None], w2, b2[None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_streamed_tile_picker():
+    # ds4 CFG shape: weights 39 MB stream in chunks, big token tiles
+    tn, dk = fused_ff._pick_tile_streamed(5120, 1280, 5120)
+    assert tn >= 1280 and 5120 % dk == 0
+    # mid block single tile
+    tn, dk = fused_ff._pick_tile_streamed(1280, 1280, 5120)
+    assert tn == 1280
+
+
+def _ln_ref(x, w, b, eps=1e-5):
+    from tooncrafter_tpu.ops import norms
+    return norms.layer_norm(x, w, b, eps)
+
+
+@pytest.mark.parametrize("streamed", [False, True])
+def test_ln_prologue_matches_separate_ln(monkeypatch, streamed):
+    monkeypatch.setattr(fused_ff, "_INTERPRET", True)
+    if streamed:
+        monkeypatch.setattr(fused_ff, "_pick_tile",
+                            lambda n, c, d, budget=0: 0)
+    x, w1, b1, w2, b2 = _mk(512, 256)
+    ks = jax.random.split(jax.random.PRNGKey(7), 2)
+    lnw = 1.0 + 0.1 * jax.random.normal(ks[0], (256,))
+    lnb = 0.1 * jax.random.normal(ks[1], (256,))
+    got = fused_ff.fused_geglu_ff(x, w1, b1, w2, b2, ln_w=lnw, ln_b=lnb)
+    want = fused_ff._xla_ff(_ln_ref(x, lnw, lnb), w1, b1[None], w2,
+                            b2[None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ln_grads_match(monkeypatch):
+    monkeypatch.setattr(fused_ff, "_INTERPRET", True)
+    x, w1, b1, w2, b2 = _mk(256, 320)
+    lnw = jnp.ones((320,))
+    lnb = jnp.zeros((320,))
+
+    def loss(x, w1, b1, w2, b2, lnw, lnb):
+        return jnp.sum(fused_ff.fused_geglu_ff(
+            x, w1, b1, w2, b2, ln_w=lnw, ln_b=lnb) ** 2)
+
+    def loss_ref(x, w1, b1, w2, b2, lnw, lnb):
+        return jnp.sum(fused_ff._xla_ff(
+            _ln_ref(x, lnw, lnb), w1, b1[None], w2, b2[None]) ** 2)
+
+    g = jax.grad(loss, argnums=tuple(range(7)))(x, w1, b1, w2, b2,
+                                                lnw, lnb)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(x, w1, b1, w2, b2,
+                                                     lnw, lnb)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
 
 
 def test_bf16_path(monkeypatch):

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from tooncrafter_tpu.ops.attention import (attention,
                                            temporal_attention_inplace)
+from tooncrafter_tpu.ops import norms
 from tooncrafter_tpu.ops.norms import GroupNormAct, LayerNorm
 from tooncrafter_tpu.ops.schedule import timestep_embedding
 from tooncrafter_tpu.ops.spatial_conv import (SpatialConv3x3,
@@ -223,28 +224,46 @@ class _GEGLUParams(nn.Module):
         return _DenseParams(self.features * 2, name="proj")(in_features)
 
 
+class _LNParams(nn.Module):
+    """Param-tree twin of ops.norms.LayerNorm (weight/bias, f32)."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        w = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return w, b
+
+
 class FeedForward(nn.Module):
     mult: int = 4
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, ln=None, deterministic: bool = True):
+        """`ln`: optional (weight, bias) of the preceding LayerNorm
+        (norm3, eps=1e-5) — folded into the fused kernel's prologue so
+        the normalized activation never round-trips HBM."""
         from tooncrafter_tpu.ops import fused_ff
 
         dim = x.shape[-1]
         inner = dim * self.mult
-        # Fused Pallas path: GEGLU proj + gate + out-GEMM in VMEM, no
-        # HBM round-trip for the 2*inner-wide intermediate (the single
-        # largest traffic source in the UNet — see ops/fused_ff.py).
-        # Only when dropout is inactive (the kernel has no mask input).
+        # Fused Pallas path: [LN] + GEGLU proj + gate + out-GEMM in
+        # VMEM, no HBM round-trip for the 2*inner-wide intermediate
+        # (the single largest traffic source in the UNet — see
+        # ops/fused_ff.py). Only when dropout is inactive (the kernel
+        # has no mask input).
         if ((deterministic or self.dropout == 0.0)
                 and fused_ff.use_kernel(x.size // dim, dim, inner)):
             w1, b1 = _GEGLUParams(inner, name="geglu")(dim)
             w2, b2 = _DenseParams(dim, name="out")(inner)
+            lnw, lnb = (None, None) if ln is None else ln
             return fused_ff.fused_geglu_ff(
                 x, w1.astype(self.dtype), b1.astype(self.dtype),
-                w2.astype(self.dtype), b2.astype(self.dtype))
+                w2.astype(self.dtype), b2.astype(self.dtype),
+                ln_w=lnw, ln_b=lnb)
+        if ln is not None:
+            x = norms.layer_norm(x, ln[0], ln[1])
         h = GEGLU(inner, self.dtype, name="geglu")(x)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return _dense2d(nn.Dense(dim, dtype=self.dtype, name="out"), h)
@@ -400,8 +419,9 @@ class BasicTransformerBlock(nn.Module):
             LayerNorm(name="norm2")(x),
             context if self.cross else None, mask,
             deterministic=deterministic) + x
+        ln3 = _LNParams(name="norm3")(x.shape[-1])
         x = FeedForward(dropout=self.dropout, dtype=self.dtype, name="ff")(
-            LayerNorm(name="norm3")(x), deterministic=deterministic) + x
+            x, ln=ln3, deterministic=deterministic) + x
         return x
 
 

@@ -17,8 +17,20 @@ once — traffic per ds1 FF site drops from ~1 GB to ~107 MB.
 The inner dim is processed in chunks of <=1280 columns (h-half and
 gate-half sliced from the same resident w1) with a float32 accumulator
 for the out-GEMM, so the per-tile VMEM footprint stays bounded at
-C=640. C=1280 (ds4) stays on XLA — its weights alone (39 MB) exceed
-VMEM and its token count is small.
+C=640. At C=1280 (ds4) the weights alone (39 MB) exceed VMEM, so a
+second, streamed variant runs a 2-D grid (token tiles x inner chunks):
+weight chunks are streamed from HBM per grid step while the output
+tile accumulates in VMEM — weights cross HBM once per token tile, and
+the 10240-wide intermediate (105 MB per ds4 site, written + re-read
+twice by the XLA lowering via kOutput fusion duplication) never
+materializes. Token tiles are chosen as large as VMEM allows so the
+weight streaming amortizes.
+
+Optionally the kernel folds the preceding LayerNorm (norm3 of the
+transformer block, reference attention.py:236-247) as a prologue: row
+statistics of the token tile are computed in-register (f32, matching
+ops/norms.LayerNorm exactly), saving the standalone normalize
+read+write pass over the activation at every FF site.
 
 Rounding mimics the unfused flax path (bf16 Dense outputs, f32 gelu):
 h and g are rounded to the compute dtype before gating, the gate runs
@@ -65,12 +77,47 @@ def _pick_tile(n: int, c: int, d: int,
     return 0
 
 
+def _vmem_estimate_streamed(tn: int, c: int, d: int, dk: int) -> int:
+    # weight chunks double-buffered across grid steps; x/out tiles and
+    # the f32 accumulator are revisited (constant index along the chunk
+    # axis), h/g/m live in registers/scratch per chunk
+    wchunks = (2 * c * dk * 2 + dk * c * 2) * 2    # w1h + w1g + w2, db
+    io = tn * c * 2 * 2                            # x + y tiles
+    chunk = 2 * tn * dk * 4 + tn * dk * 2          # h, g f32 + m bf16
+    acc = tn * c * 4
+    return wchunks + io + chunk + acc
+
+
+def _pick_tile_streamed(n: int, c: int, d: int,
+                        budget: int = 72 * 1024 * 1024):
+    """(tn, dk) for the streamed variant. Token tiles as LARGE as fit:
+    weight traffic is (n/tn) * |w|, so big tiles amortize streaming."""
+    for tn in (2560, 2048, 1280, 1024, 512):
+        if n % tn:
+            continue
+        for dk in (1280, 640, 512, 256, 128):
+            if d % dk:
+                continue
+            if _vmem_estimate_streamed(tn, c, d, dk) <= budget:
+                return tn, dk
+    return 0, 0
+
+
+def _mode(n: int, c: int, d: int, cout: int):
+    if not (c % 128 in (0, 64) and cout % 128 in (0, 64) and d % 128 == 0):
+        return None
+    if _pick_tile(n, max(c, cout), d) > 0:
+        return "resident"
+    if _pick_tile_streamed(n, max(c, cout), d)[0] > 0:
+        return "streamed"
+    return None
+
+
 def use_kernel(n: int, c: int, d: int, cout: int | None = None) -> bool:
     """n tokens, c model width, d inner (pre-gate) width, cout output
     width (defaults to c)."""
     cout = c if cout is None else cout
-    return (c % 128 in (0, 64) and cout % 128 in (0, 64) and d % 128 == 0
-            and _pick_tile(n, max(c, cout), d) > 0
+    return (_mode(n, c, d, cout) is not None
             and (_on_tpu() or _INTERPRET))
 
 
@@ -90,9 +137,23 @@ def _gelu_exact_f32(x):
     return 0.5 * x * (1.0 + _erf_f32(x * 0.7071067811865476))
 
 
-def _pallas_ff(x2, w1, b1, w2, b2):
+def _ln_tile(xt, lnw_ref, lnb_ref, eps):
+    """In-register LayerNorm over the minor axis of a token tile;
+    f32 math identical to ops/norms.LayerNorm."""
+    xf = xt.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean_sq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = out * lnw_ref[0].astype(jnp.float32) \
+        + lnb_ref[0].astype(jnp.float32)
+    return out.astype(xt.dtype)
+
+
+def _pallas_ff(x2, w1, b1, w2, b2, lnw, lnb, eps):
     """x2: (N, C); w1: (C, 2D) = [h | gate] halves; b1: (1, 2D);
-    w2: (D, Cout); b2: (1, Cout). Returns (N, Cout)."""
+    w2: (D, Cout); b2: (1, Cout); lnw/lnb: (1, C) f32 LayerNorm affine
+    (pass None to skip the LN prologue). Returns (N, Cout)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -102,9 +163,13 @@ def _pallas_ff(x2, w1, b1, w2, b2):
     dk = min(d, _CHUNK)
     n_chunks = d // dk
     cdt = x2.dtype
+    has_ln = lnw is not None
 
-    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest):
+        o_ref = rest[-1]
         xt = x_ref[...]
+        if has_ln:
+            xt = _ln_tile(xt, rest[0], rest[1], eps)
         acc = jnp.zeros((tn, cout), jnp.float32)
         for j in range(n_chunks):
             lo, hi = j * dk, (j + 1) * dk
@@ -124,23 +189,103 @@ def _pallas_ff(x2, w1, b1, w2, b2):
                 preferred_element_type=jnp.float32)
         o_ref[...] = acc.astype(cdt) + b2_ref[0]
 
+    in_specs = [
+        pl.BlockSpec((tn, c), lambda i: (i, 0)),
+        pl.BlockSpec((c, 2 * d), lambda i: (0, 0)),
+        pl.BlockSpec((1, 2 * d), lambda i: (0, 0)),
+        pl.BlockSpec((d, cout), lambda i: (0, 0)),
+        pl.BlockSpec((1, cout), lambda i: (0, 0)),
+    ]
+    args = [x2, w1, b1, w2, b2]
+    if has_ln:
+        in_specs += [pl.BlockSpec((1, c), lambda i: (0, 0)),
+                     pl.BlockSpec((1, c), lambda i: (0, 0))]
+        args += [lnw, lnb]
     return pl.pallas_call(
         kernel,
         grid=(n // tn,),
-        in_specs=[
-            pl.BlockSpec((tn, c), lambda i: (i, 0)),
-            pl.BlockSpec((c, 2 * d), lambda i: (0, 0)),
-            pl.BlockSpec((1, 2 * d), lambda i: (0, 0)),
-            pl.BlockSpec((d, cout), lambda i: (0, 0)),
-            pl.BlockSpec((1, cout), lambda i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tn, cout), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n, cout), cdt),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(x2, w1, b1, w2, b2)
+    )(*args)
+
+
+def _pallas_ff_streamed(x2, w1, b1, w2, b2, lnw, lnb, eps):
+    """Streamed-weights variant for widths whose weights exceed VMEM
+    (ds4, C=1280, |w| = 39 MB): 2-D grid over (token tiles, inner
+    chunks). w1's h-half and gate-half are the same array bound twice
+    with different block index maps; the output tile accumulates in a
+    VMEM scratch across the chunk axis and is written once."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, c = x2.shape
+    d, cout = w2.shape
+    tn, dk = _pick_tile_streamed(n, max(c, cout), d)
+    n_chunks = d // dk
+    cdt = x2.dtype
+    has_ln = lnw is not None
+
+    def kernel(x_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref, w2_ref, b2_ref,
+               *rest):
+        o_ref, acc_ref = rest[-2], rest[-1]
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        xt = x_ref[...]
+        if has_ln:
+            xt = _ln_tile(xt, rest[0], rest[1], eps)
+        h = jax.lax.dot_general(
+            xt, w1h_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g = jax.lax.dot_general(
+            xt, w1g_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        h = (h.astype(cdt) + b1h_ref[0]).astype(jnp.float32)
+        g = (g.astype(cdt) + b1g_ref[0]).astype(jnp.float32)
+        m = (h * _gelu_exact_f32(g)).astype(cdt)
+        acc_ref[:] += jax.lax.dot_general(
+            m, w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == n_chunks - 1)
+        def _():
+            o_ref[...] = acc_ref[:].astype(cdt) + b2_ref[0]
+
+    nck = n_chunks  # closure-stable for index maps
+    in_specs = [
+        pl.BlockSpec((tn, c), lambda i, j: (i, 0)),
+        pl.BlockSpec((c, dk), lambda i, j: (0, j)),              # w1 h half
+        pl.BlockSpec((c, dk), lambda i, j, n_=nck: (0, n_ + j)),  # w1 gate
+        pl.BlockSpec((1, dk), lambda i, j: (0, j)),
+        pl.BlockSpec((1, dk), lambda i, j, n_=nck: (0, n_ + j)),
+        pl.BlockSpec((dk, cout), lambda i, j: (j, 0)),
+        pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
+    ]
+    args = [x2, w1, w1, b1, b1, w2, b2]
+    if has_ln:
+        in_specs += [pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+                     pl.BlockSpec((1, c), lambda i, j: (0, 0))]
+        args += [lnw, lnb]
+    return pl.pallas_call(
+        kernel,
+        grid=(n // tn, n_chunks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tn, cout), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, cout), cdt),
+        scratch_shapes=[pltpu.VMEM((tn, cout), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(*args)
 
 
 def _xla_ff(x, w1, b1, w2, b2):
@@ -154,19 +299,35 @@ def _xla_ff(x, w1, b1, w2, b2):
     return jnp.dot(m, w2) + b2[0]
 
 
-def _impl(x, w1, b1, w2, b2):
+def _xla_ln(x, lnw, lnb, eps):
+    """Differentiable LayerNorm matching ops/norms.LayerNorm."""
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    out = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
+    out = out * lnw[0].astype(jnp.float32) + lnb[0].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _dispatch_ff(x, w1, b1, w2, b2, lnw, lnb, eps):
     c = x.shape[-1]
     n = x.size // c
     d = w2.shape[0]
-    if use_kernel(n, c, d):
-        y2 = _pallas_ff(x.reshape(n, c), w1, b1, w2, b2)
+    mode = _mode(n, c, d, w2.shape[1]) if (_on_tpu() or _INTERPRET) \
+        else None
+    if mode is not None:
+        fn = _pallas_ff if mode == "resident" else _pallas_ff_streamed
+        y2 = fn(x.reshape(n, c), w1, b1, w2, b2, lnw, lnb, eps)
         return y2.reshape(x.shape[:-1] + (w2.shape[1],))
+    if lnw is not None:
+        x = _xla_ln(x, lnw, lnb, eps)
     return _xla_ff(x, w1, b1, w2, b2)
 
 
 @jax.custom_vjp
 def _ff(x, w1, b1, w2, b2):
-    return _impl(x, w1, b1, w2, b2)
+    return _dispatch_ff(x, w1, b1, w2, b2, None, None, 0.0)
 
 
 def _ff_fwd(x, w1, b1, w2, b2):
@@ -182,11 +343,40 @@ def _ff_bwd(saved, gy):
 _ff.defvjp(_ff_fwd, _ff_bwd)
 
 
-def fused_geglu_ff(x, w1, b1, w2, b2):
-    """y = (h * gelu(g)) @ w2 + b2 with [h | g] = x @ w1 + b1.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _ff_ln(x, w1, b1, w2, b2, lnw, lnb, eps):
+    return _dispatch_ff(x, w1, b1, w2, b2, lnw, lnb, eps)
+
+
+def _ff_ln_fwd(x, w1, b1, w2, b2, lnw, lnb, eps):
+    return (_ff_ln(x, w1, b1, w2, b2, lnw, lnb, eps),
+            (x, w1, b1, w2, b2, lnw, lnb))
+
+
+def _ff_ln_bwd(eps, saved, gy):
+    x, w1, b1, w2, b2, lnw, lnb = saved
+    _, vjp = jax.vjp(
+        lambda x_, w1_, b1_, w2_, b2_, lnw_, lnb_: _xla_ff(
+            _xla_ln(x_, lnw_, lnb_, eps), w1_, b1_, w2_, b2_),
+        x, w1, b1, w2, b2, lnw, lnb)
+    return vjp(gy)
+
+
+_ff_ln.defvjp(_ff_ln_fwd, _ff_ln_bwd)
+
+
+def fused_geglu_ff(x, w1, b1, w2, b2, ln_w=None, ln_b=None,
+                   ln_eps: float = 1e-5):
+    """y = (h * gelu(g)) @ w2 + b2 with [h | g] = LN?(x) @ w1 + b1.
 
     x: (..., C); w1: (C, 2D); b1: (2D,); w2: (D, C'); b2: (C',).
-    Dispatches to the Pallas kernel on TPU when the shape fits
-    (`use_kernel`); falls back to the XLA form otherwise.
+    When ln_w/ln_b (C,) are given, a LayerNorm prologue (eps=ln_eps,
+    semantics of ops/norms.LayerNorm) is folded into the kernel.
+    Dispatches to a Pallas kernel on TPU when the shape fits
+    (`use_kernel`) — resident weights for C<=640, streamed weight
+    chunks at C=1280; falls back to the XLA form otherwise.
     """
-    return _ff(x, w1, b1[None], w2, b2[None])
+    if ln_w is None:
+        return _ff(x, w1, b1[None], w2, b2[None])
+    return _ff_ln(x, w1, b1[None], w2, b2[None], ln_w[None], ln_b[None],
+                  ln_eps)

@@ -154,6 +154,18 @@ class GroupNormAct(nn.Module):
                                self.act)
 
 
+def layer_norm(x, weight, bias, eps: float = 1e-5):
+    """Functional LayerNorm over the last axis with fp32 statistics."""
+    # inline fp32 casts (see group_norm): avoid a materialized upcast
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    out = ((x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps))
+    out = out * weight + bias
+    return out.astype(x.dtype)
+
+
 class LayerNorm(nn.Module):
     """LayerNorm over the last axis with fp32 statistics (torch param names)."""
 
@@ -164,12 +176,4 @@ class LayerNorm(nn.Module):
         c = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        # inline fp32 casts (see group_norm): avoid a materialized upcast
-        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
-        mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
-                           keepdims=True)
-        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-        out = ((x.astype(jnp.float32) - mean)
-               * jax.lax.rsqrt(var + self.eps))
-        out = out * weight + bias
-        return out.astype(x.dtype)
+        return layer_norm(x, weight, bias, self.eps)
