@@ -115,12 +115,18 @@ def main():
     p.add_argument("--trace", action="store_true")
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--logdir", default="/tmp/unet_profile")
+    p.add_argument("--hlo-out", default=None,
+                   help="also dump optimized HLO text (reuses the compile)")
     args = p.parse_args()
 
     t0 = time.time()
     fwd, inputs = build_forward()
     print(f"[{time.time()-t0:.1f}s] built; compiling...", flush=True)
     compiled = fwd.lower(*inputs).compile()
+    if args.hlo_out:
+        with open(args.hlo_out, "w") as f:
+            f.write(compiled.as_text())
+        print(f"[{time.time()-t0:.1f}s] HLO -> {args.hlo_out}", flush=True)
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, list):
