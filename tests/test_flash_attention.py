@@ -54,3 +54,45 @@ def test_block_picker():
     assert fa._pick_block(10240) == 1280
     assert fa._pick_block(2561) == 0
     assert not fa._use_kernel(2561, 2561, 64)
+
+
+def test_single_pass_picker():
+    # UNet self-attn shapes take the single-pass kernel
+    assert fa._single_pass_blk(2560, 2560, 64) == 1280
+    assert fa._single_pass_blk(640, 640, 64) == 640
+    assert fa._single_pass_blk(160, 160, 64) == 160
+    # dual-ref fusion site (Sk = 2*Sq, up to 20480) stays two-pass
+    assert fa._single_pass_blk(10240, 20480, 64) == 0
+    assert fa._single_pass_blk(2560, 5120, 64) == 0
+
+
+def test_two_pass_forward_matches_reference(monkeypatch):
+    # force the online two-pass kernel even at a single-pass shape
+    monkeypatch.setattr(fa, "_single_pass_blk", lambda *a: 0)
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(1, 1024, 2, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 1536, 2, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 1536, 2, 64)), jnp.float32)
+    out = fa.flash_attention(q, k, v)
+    ref = dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_single_pass_lse_matches_two_pass():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(2, 256, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 256, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 256, 64)), jnp.float32)
+    o1, lse1 = fa._flash_bh_single(q, k, v, 0.125, 128)
+    blk = fa._pick_block(256)
+    assert blk
+    import contextlib
+    with contextlib.ExitStack() as st:
+        # route with_lse through the two-pass body
+        orig = fa._single_pass_blk
+        fa._single_pass_blk = lambda *a: 0
+        st.callback(lambda: setattr(fa, "_single_pass_blk", orig))
+        o2, lse2 = fa._flash_bh_with_lse(q, k, v, 0.125)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lse1), np.asarray(lse2),
+                               atol=1e-5)

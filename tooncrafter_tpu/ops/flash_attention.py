@@ -13,6 +13,16 @@ shapes this model actually produces:
 
 The TPU kernel processes Q in 512-row blocks against KV in 512-row blocks
 with an online-softmax accumulator held in VMEM.
+
+For the moderate KV lengths the UNet emits (Sk <= 4096) a single-pass
+variant is dispatched instead: the whole KV is resident per q block, so
+the softmax is exact in one shot — no running-max corrections, no
+accumulator rescale multiplies on the score tile — and log2(e) is folded
+into the QK scale so the exp lowers to a bare exp2. A/B on v5e
+(tools/bench_flash3.py): ds1 2560x2560x64 6.32 -> 5.62 ms, ds2
+640x640x64 2.55 -> 2.07 ms, bitwise-comparable outputs (max |diff| at
+bf16 resolution). The two-pass kernel remains for the dual-ref fusion
+site (Sk up to 20480, score tile would blow VMEM).
 """
 
 from __future__ import annotations
@@ -260,6 +270,85 @@ def _flash_bh(q, k, v, scale: float):
     return out
 
 
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+
+
+def _single_pass_blk(sq: int, sk: int, d: int) -> int:
+    """q-block size for the single-pass kernel, or 0 if the resident-KV
+    score tile would not fit VMEM comfortably (then the two-pass online
+    kernel runs). Budget: f32 score tile + bf16 probs copy + resident
+    K/V + double-buffered q/out, under the 100 MB scoped-vmem limit.
+    Sk is capped at 4096 — the swept envelope (ds1/ds2/ds4 self-attn);
+    beyond it only narrow q blocks fit, a regime the block sweep showed
+    losing in context at the dual-ref fusion site."""
+    if sk > 4096:
+        return 0
+    for bq in (1280, 1024, 768, 640, 512, 384, 320, 256, 160, 128):
+        if sq % bq:
+            continue
+        score = bq * sk * 4 + bq * sk * 2          # s f32 + p bf16
+        kv = 2 * sk * d * 2 * 2                    # k + v, double-buffered
+        io = 2 * (bq * d * 2) * 2 + bq * d * 4     # q/out db + f32 acc
+        if score + kv + io <= 60 * 1024 * 1024:
+            return bq
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "blk_q"))
+def _flash_bh_single(q, k, v, scale: float, blk_q: int):
+    """Single-pass forward: whole KV resident per q block (Sk small
+    enough that the [blk_q, Sk] f32 score tile fits VMEM). Exact
+    softmax in one sweep; scale*log2(e) folded into the QK product so
+    the exponent is a bare exp2; row-sum divide applied to the [bq, d]
+    accumulator instead of the [bq, Sk] probs."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    n_q = sq // blk_q
+    s2 = scale * _LOG2E
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
+        qb = q_ref[0]
+        kb = k_ref[0]
+        vb = v_ref[0]
+        s = jax.lax.dot_general(
+            qb, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * s2
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0] = (acc / l).astype(o_ref.dtype)
+        lse_ref[0] = (m + jnp.log2(l)) * _LN2
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, n_q),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, blk_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, blk_q, 1), lambda b, i: (b, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(q, k, v)
+
+
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _flash_bh_with_lse(q, k, v, scale: float):
     """Flash attention forward that also emits the per-row logsumexp
@@ -269,6 +358,9 @@ def _flash_bh_with_lse(q, k, v, scale: float):
 
     bh, sq, d = q.shape
     sk = k.shape[1]
+    bq_single = _single_pass_blk(sq, sk, d)
+    if bq_single:
+        return _flash_bh_single(q, k, v, scale, bq_single)
     blk_q, blk_k = _pick_fwd_blocks(sq, sk)
     n_q = pl.cdiv(sq, blk_q)
     n_k = pl.cdiv(sk, blk_k)
