@@ -78,6 +78,36 @@ def test_two_pass_forward_matches_reference(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_packed_multihead_matches_reference():
+    rng = np.random.default_rng(4)
+    b, s, c, heads = 2, 256, 128, 2
+    qkv = jnp.asarray(rng.normal(size=(b, s, 3 * c)), jnp.float32)
+    assert fa._mh_blk(s, s, c, heads) > 0
+    out = fa.flash_attention_packed(qkv, heads)
+    ref = fa._xla_packed(qkv, heads, (c // heads) ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_multihead_backward():
+    rng = np.random.default_rng(5)
+    qkv = jnp.asarray(rng.normal(size=(1, 256, 384)), jnp.float32)
+    f = lambda t: jnp.sum(fa.flash_attention_packed(t, 2) ** 2)
+    r = lambda t: jnp.sum(fa._xla_packed(t, 2, 64 ** -0.5) ** 2)
+    got = jax.grad(f)(qkv)
+    ref = jax.grad(r)(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_packed_picker_envelope():
+    # model shapes: (S, C, H) at ds1/ds2/ds4 all take the kernel
+    assert fa._mh_blk(2560, 2560, 320, 5) > 0
+    assert fa._mh_blk(640, 640, 640, 10) > 0
+    assert fa._mh_blk(160, 160, 1280, 20) > 0
+    # non-64 head dim or huge KV fall back
+    assert fa._mh_blk(2560, 2560, 320, 4) == 0
+    assert fa._mh_blk(8192, 8192, 320, 5) == 0
+
+
 def test_single_pass_lse_matches_two_pass():
     rng = np.random.default_rng(3)
     q = jnp.asarray(rng.normal(size=(2, 256, 64)), jnp.float32)

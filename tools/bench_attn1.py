@@ -152,7 +152,7 @@ def run_site(name, b, s, c, heads):
         lambda x_, *w: variant_a(x_, *w, heads), 6),
         x, lnw, lnb, wq, wk, wv, wo)
     print(f"[{name}] A (prod fold+flash) : {ta*1e3:7.3f} ms", flush=True)
-    for bq in (1280, 640, 512, 256):
+    for bq in (1280, 640, 512, 320, 256, 160, 128):
         if s % bq or bq > s:
             continue
         jax.clear_caches()

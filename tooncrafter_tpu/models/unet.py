@@ -214,6 +214,17 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _DenseParamsNB(nn.Module):
+    """Param-tree twin of nn.Dense(use_bias=False) — kernel only."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (in_features, self.features), jnp.float32)
+
+
 class _GEGLUParams(nn.Module):
     """Param-tree twin of GEGLU (geglu/proj/{kernel,bias})."""
 
@@ -295,9 +306,38 @@ class CrossAttention(nn.Module):
         inner = self.heads * self.dim_head
         self_attn = context is None
         ctx = x if self_attn else context
+        out_dim = x.shape[-1]
+
+        if self_attn and x.ndim == 3 and mask is None:
+            # spatial self-attention (SpatialTransformer attn1): packed
+            # q/k/v projection + the multi-head single-pass kernel,
+            # which consumes the token-major (B, S, H*D) layout directly
+            # — no head-fold transposes, no barrier copies (A/B'd in
+            # tools/bench_attn1.py: ds1 6.66->6.19, ds2 2.58->2.35,
+            # ds4 2.41->1.85 ms per LN+proj+attn+out complex).
+            from tooncrafter_tpu.ops import flash_attention as fa
+            c_in = x.shape[-1]
+            wq = _DenseParamsNB(inner, name="to_q")(c_in)
+            wk = _DenseParamsNB(inner, name="to_k")(c_in)
+            wv = _DenseParamsNB(inner, name="to_v")(c_in)
+            xd = x.astype(self.dtype)
+            if fa.use_packed_kernel(x.shape[1], inner, self.heads):
+                wqkv = jnp.concatenate([wq, wk, wv],
+                                       axis=1).astype(self.dtype)
+                out = fa.flash_attention_packed(jnp.dot(xd, wqkv),
+                                                self.heads)
+            else:
+                out = attention(jnp.dot(xd, wq.astype(self.dtype)),
+                                jnp.dot(xd, wk.astype(self.dtype)),
+                                jnp.dot(xd, wv.astype(self.dtype)),
+                                heads=self.heads)
+            out = _dense2d(nn.Dense(out_dim, dtype=self.dtype,
+                                    name="to_out"), out)
+            return nn.Dropout(self.dropout,
+                              deterministic=deterministic)(out)
+
         q = _dense2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
                               name="to_q"), x)
-        out_dim = x.shape[-1]
 
         if x.ndim == 4:
             # temporal fast path: (B, P, T, C) layout — per-pixel attention

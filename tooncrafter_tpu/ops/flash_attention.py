@@ -349,6 +349,138 @@ def _flash_bh_single(q, k, v, scale: float, blk_q: int):
     )(q, k, v)
 
 
+def _mh_blk(sq: int, sk: int, c: int, heads: int) -> int:
+    """q-block size for the packed multi-head kernel, or 0.
+
+    Envelope: every head dim the model emits is 64; single KV pass must
+    fit (sk <= 4096); small q blocks pipeline better here than the
+    1280-row blocks of the per-(bh) kernel (swept in
+    tools/bench_attn1.py: ds1 best at 512/640, ds2 at 320, ds4 at 160).
+    """
+    if c % heads or c // heads != 64 or sk > 4096:
+        return 0
+    for bq in (512, 320, 256, 160, 128):
+        if sq % bq:
+            continue
+        score = 2 * bq * sk * 4 + bq * sk * 2     # ~2 live f32 tiles + p
+        kv = 2 * sk * c * 2 * 2                   # k + v, double-buffered
+        io = 2 * (bq * c * 2) * 2
+        if score + kv + io <= 60 * 1024 * 1024:
+            return bq
+    return 0
+
+
+def use_packed_kernel(sq: int, c: int, heads: int) -> bool:
+    """Can the packed-QKV multi-head kernel take this self-attention?"""
+    return (_mh_blk(sq, sq, c, heads) > 0
+            and (_on_tpu() or _INTERPRET))
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "blk_q"))
+def _flash_mh(q, k, v, heads: int, scale: float, blk_q: int):
+    """q,k,v: (B, S, H*D) token-major (lane-packed heads).
+
+    Single-pass flash attention with all heads processed inside one
+    grid step via static lane subranges — no fold/unfold transposes and
+    no barrier copies exist anywhere on this path. Returns (B, S, H*D)
+    token-major, ready for to_out. (Binding one packed (B,S,3C) array
+    three times would save the q/k/v slices too, but Mosaic requires
+    block minor dims to be 128-multiples or the full array dim, and
+    C=320 slices of a 960-wide array violate that — the sliced form is
+    what the A/B in tools/bench_attn1.py measured winning.)
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, c = q.shape
+    d = c // heads
+    n_q = s // blk_q
+    s2 = scale * _LOG2E
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        qb = q_ref[0]            # (blk_q, H*D)
+        kb = k_ref[0]            # (S, H*D)
+        vb = v_ref[0]
+        outs = []
+        for h in range(heads):
+            lo = h * d
+            qh = qb[:, lo:lo + d]
+            kh = kb[:, lo:lo + d]
+            vh = vb[:, lo:lo + d]
+            sc = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * s2
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp2(sc - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            acc = jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            outs.append((acc / l).astype(o_ref.dtype))
+        o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_q),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, c), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, s, c), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, s, c), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, c), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(q, k, v)
+
+
+def _xla_packed(qkv, heads: int, scale):
+    from tooncrafter_tpu.ops.attention import dot_product_attention
+
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+    out = dot_product_attention(q.reshape(b, s, heads, d),
+                                k.reshape(b, s, heads, d),
+                                v.reshape(b, s, heads, d), scale=scale)
+    return out.reshape(b, s, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def flash_attention_packed(qkv, heads: int, scale: Optional[float] = None):
+    """Self-attention over a packed (B, S, 3*H*D) projection.
+
+    Kernel path when `use_packed_kernel` holds; XLA fallback otherwise.
+    Backward recomputes through the XLA form (house pattern).
+    """
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    if scale is None:
+        scale = (c // heads) ** -0.5
+    blk = _mh_blk(s, s, c, heads)
+    if (_on_tpu() or _INTERPRET) and blk:
+        return _flash_mh(qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:],
+                         heads, scale, blk)
+    return _xla_packed(qkv, heads, scale)
+
+
+def _packed_fwd(qkv, heads, scale):
+    return flash_attention_packed(qkv, heads, scale), qkv
+
+
+def _packed_bwd(heads, scale, qkv, g):
+    b, s, c3 = qkv.shape
+    sc = (c3 // 3 // heads) ** -0.5 if scale is None else scale
+    _, vjp = jax.vjp(lambda t: _xla_packed(t, heads, sc), qkv)
+    return vjp(g)
+
+
+flash_attention_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _flash_bh_with_lse(q, k, v, scale: float):
     """Flash attention forward that also emits the per-row logsumexp
