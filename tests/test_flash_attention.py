@@ -84,7 +84,9 @@ def test_packed_multihead_matches_reference():
     qkv = jnp.asarray(rng.normal(size=(b, s, 3 * c)), jnp.float32)
     assert fa._mh_blk(s, s, c, heads) > 0
     out = fa.flash_attention_packed(qkv, heads)
-    ref = fa._xla_packed(qkv, heads, (c // heads) ** -0.5)
+    c_ = qkv.shape[-1] // 3
+    ref = fa._xla_mh(qkv[..., :c_], qkv[..., c_:2*c_], qkv[..., 2*c_:],
+                     heads, (c // heads) ** -0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
@@ -92,7 +94,8 @@ def test_packed_multihead_backward():
     rng = np.random.default_rng(5)
     qkv = jnp.asarray(rng.normal(size=(1, 256, 384)), jnp.float32)
     f = lambda t: jnp.sum(fa.flash_attention_packed(t, 2) ** 2)
-    r = lambda t: jnp.sum(fa._xla_packed(t, 2, 64 ** -0.5) ** 2)
+    r = lambda t: jnp.sum(fa._xla_mh(t[..., :128], t[..., 128:256],
+                                     t[..., 256:], 2, 64 ** -0.5) ** 2)
     got = jax.grad(f)(qkv)
     ref = jax.grad(r)(qkv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
@@ -106,6 +109,31 @@ def test_packed_picker_envelope():
     # non-64 head dim or huge KV fall back
     assert fa._mh_blk(2560, 2560, 320, 4) == 0
     assert fa._mh_blk(8192, 8192, 320, 5) == 0
+    # cross-attention (sq != sk) is outside the measured envelope
+    assert fa._mh_blk(2560, 77, 320, 5) == 0
+    assert fa._mh_blk(2560, 256, 320, 5) == 0
+
+
+def test_mh_cross_entry_matches_xla():
+    # sq != sk stays off the kernel but the public entry is correct
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.normal(size=(2, 256, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 64, 128)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 64, 128)), jnp.float32)
+    out = fa.flash_attention_mh(q, k, v, 2)
+    ref = fa._xla_mh(q, k, v, 2, 64 ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_mh_kernel_cross_shape_correct():
+    # the raw kernel itself handles sq != sk (K/V blocks sized by sk)
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(2, 256, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 512, 128)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 512, 128)), jnp.float32)
+    out = fa._flash_mh(q, k, v, 2, 64 ** -0.5, 128)
+    ref = fa._xla_mh(q, k, v, 2, 64 ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
 def test_single_pass_lse_matches_two_pass():

@@ -356,8 +356,12 @@ def _mh_blk(sq: int, sk: int, c: int, heads: int) -> int:
     fit (sk <= 4096); small q blocks pipeline better here than the
     1280-row blocks of the per-(bh) kernel (swept in
     tools/bench_attn1.py: ds1 best at 512/640, ds2 at 320, ds4 at 160).
+    Self-attention only (sq == sk): cross-attention with the model's
+    small KV (77/256 ctx tokens) measured 1.1-3x SLOWER through this
+    kernel than XLA's fused einsum (tools/bench_cross_mh.py) — tiny
+    per-head score matmuls starve the MXU there.
     """
-    if c % heads or c // heads != 64 or sk > 4096:
+    if sq != sk or c % heads or c // heads != 64 or sk > 4096:
         return 0
     for bq in (512, 320, 256, 160, 128):
         if sq % bq:
@@ -393,6 +397,7 @@ def _flash_mh(q, k, v, heads: int, scale: float, blk_q: int):
     from jax.experimental.pallas import tpu as pltpu
 
     b, s, c = q.shape
+    sk = k.shape[1]
     d = c // heads
     n_q = s // blk_q
     s2 = scale * _LOG2E
@@ -424,8 +429,8 @@ def _flash_mh(q, k, v, heads: int, scale: float, blk_q: int):
         grid=(b, n_q),
         in_specs=[
             pl.BlockSpec((1, blk_q, c), lambda b_, i: (b_, i, 0)),
-            pl.BlockSpec((1, s, c), lambda b_, i: (b_, 0, 0)),
-            pl.BlockSpec((1, s, c), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, sk, c), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, sk, c), lambda b_, i: (b_, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, blk_q, c), lambda b_, i: (b_, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, s, c), q.dtype),
@@ -436,17 +441,53 @@ def _flash_mh(q, k, v, heads: int, scale: float, blk_q: int):
     )(q, k, v)
 
 
-def _xla_packed(qkv, heads: int, scale):
+def _xla_mh(q, k, v, heads: int, scale):
     from tooncrafter_tpu.ops.attention import dot_product_attention
 
-    b, s, c3 = qkv.shape
-    c = c3 // 3
+    b, sq, c = q.shape
+    sk = k.shape[1]
     d = c // heads
-    q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
-    out = dot_product_attention(q.reshape(b, s, heads, d),
-                                k.reshape(b, s, heads, d),
-                                v.reshape(b, s, heads, d), scale=scale)
-    return out.reshape(b, s, c)
+    out = dot_product_attention(q.reshape(b, sq, heads, d),
+                                k.reshape(b, sk, heads, d),
+                                v.reshape(b, sk, heads, d), scale=scale)
+    return out.reshape(b, sq, c)
+
+
+def use_mh_kernel(sq: int, sk: int, c: int, heads: int) -> bool:
+    """Can the token-major multi-head kernel take this attention?"""
+    return (_mh_blk(sq, sk, c, heads) > 0
+            and (_on_tpu() or _INTERPRET))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_mh(q, k, v, heads: int,
+                       scale: Optional[float] = None):
+    """Attention over token-major (B, S, H*D) projections — q and k/v
+    may come from different sources (cross-attention). Kernel path when
+    `use_mh_kernel` holds; XLA fallback otherwise. Backward recomputes
+    through the XLA form (house pattern)."""
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    sc = (c // heads) ** -0.5 if scale is None else scale
+    blk = _mh_blk(sq, sk, c, heads)
+    if (_on_tpu() or _INTERPRET) and blk:
+        return _flash_mh(q, k, v, heads, sc, blk)
+    return _xla_mh(q, k, v, heads, sc)
+
+
+def _mh_fwd(q, k, v, heads, scale):
+    return flash_attention_mh(q, k, v, heads, scale), (q, k, v)
+
+
+def _mh_bwd(heads, scale, res, g):
+    q, k, v = res
+    sc = (q.shape[-1] // heads) ** -0.5 if scale is None else scale
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_mh(q_, k_, v_, heads, sc), q, k, v)
+    return vjp(g)
+
+
+flash_attention_mh.defvjp(_mh_fwd, _mh_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -460,11 +501,11 @@ def flash_attention_packed(qkv, heads: int, scale: Optional[float] = None):
     c = c3 // 3
     if scale is None:
         scale = (c // heads) ** -0.5
+    q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
     blk = _mh_blk(s, s, c, heads)
     if (_on_tpu() or _INTERPRET) and blk:
-        return _flash_mh(qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:],
-                         heads, scale, blk)
-    return _xla_packed(qkv, heads, scale)
+        return _flash_mh(q, k, v, heads, scale, blk)
+    return _xla_mh(q, k, v, heads, scale)
 
 
 def _packed_fwd(qkv, heads, scale):
@@ -472,9 +513,11 @@ def _packed_fwd(qkv, heads, scale):
 
 
 def _packed_bwd(heads, scale, qkv, g):
-    b, s, c3 = qkv.shape
-    sc = (c3 // 3 // heads) ** -0.5 if scale is None else scale
-    _, vjp = jax.vjp(lambda t: _xla_packed(t, heads, sc), qkv)
+    c = qkv.shape[-1] // 3
+    sc = (c // heads) ** -0.5 if scale is None else scale
+    _, vjp = jax.vjp(
+        lambda t: _xla_mh(t[..., :c], t[..., c:2 * c], t[..., 2 * c:],
+                          heads, sc), qkv)
     return vjp(g)
 
 
