@@ -121,16 +121,26 @@ def use_kernel(n: int, c: int, d: int, cout: int | None = None) -> bool:
             and (_on_tpu() or _INTERPRET))
 
 
+_ERF_COEF = (1.1283599252e+00, -3.7593882924e-01, 1.1232775752e-01,
+             -2.6235394188e-02, 4.7904560104e-03, -6.7044281677e-04,
+             6.8676210799e-05, -4.7832972359e-06, 2.0007393939e-07,
+             -3.7614280374e-09)
+
+
 def _erf_f32(x):
-    """Abramowitz & Stegun 7.1.26 rational erf, |err| <= 1.5e-7 in f32
-    (Mosaic has no erf/erfc lowering; this is exact to well below bf16
-    resolution). x: f32."""
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
+    """Odd-polynomial erf on the clamped range [-3, 3]:
+    erf(u) ~ u * P(u^2), deg-19, |err| <= 3.5e-6 (Chebyshev-node LS fit;
+    1-erf(3) = 2.2e-5, so the clamp adds at most 2.2e-5 in the
+    saturated tail). Far below bf16 resolution, and unlike A&S 7.1.26
+    it needs no exp / reciprocal / sign — a pure fma chain on the VPU,
+    measured ~7% faster at the ds1 FF site (tools/bench_ff3.py).
+    Mosaic has no native erf lowering. x: f32."""
+    u = jnp.clip(x, -3.0, 3.0)
+    s = u * u
+    p = _ERF_COEF[9]
+    for c_ in _ERF_COEF[8::-1]:
+        p = p * s + c_
+    return u * p
 
 
 def _gelu_exact_f32(x):
