@@ -154,3 +154,25 @@ def test_single_pass_lse_matches_two_pass():
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(lse1), np.asarray(lse2),
                                atol=1e-5)
+
+
+def test_packed_direct_bind_matches_reference():
+    # ds1 envelope (c=320, s % 512 == 0): the packed array is bound
+    # straight into the kernel, q/k/v carved out in-kernel
+    rng = np.random.default_rng(8)
+    b, s, c, heads = 1, 512, 320, 5
+    qkv = jnp.asarray(rng.normal(size=(b, s, 3 * c)), jnp.float32)
+    assert fa._packed_direct_blk(s, c, heads) == 512
+    out = fa.flash_attention_packed(qkv, heads)
+    ref = fa._xla_mh(qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:],
+                     heads, 64 ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_packed_direct_blk_envelope():
+    assert fa._packed_direct_blk(2560, 320, 5) == 512   # ds1
+    assert fa._packed_direct_blk(640, 640, 10) == 640   # ds2
+    assert fa._packed_direct_blk(160, 1280, 20) == 0    # ds4: sliced wins
+    assert fa._packed_direct_blk(2561, 320, 5) == 0     # indivisible
+    assert fa._packed_direct_blk(2560, 320, 4) == 0     # d != 64

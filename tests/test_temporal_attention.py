@@ -73,3 +73,23 @@ def test_temporal_transformer_fast_path_matches_einsum():
         ta._INTERPRET = old
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_kernel_gradients_match_xla():
+    # jax.grad must survive the Pallas forward (custom_vjp recompute);
+    # before the vjp existed, an on-TPU training step died here
+    import numpy as np
+    ta._INTERPRET = True
+    try:
+        q = jnp.asarray(np.random.default_rng(7).normal(
+            size=(1, 128, 16, 64)), jnp.float32)
+        f = lambda t: jnp.sum(
+            ta.temporal_attention_ptc(t, t, t, heads=1, scale=0.125) ** 2)
+        r = lambda t: jnp.sum(
+            ta._xla_ptc(t, t, t, 1, 0.125) ** 2)
+        got = jax.grad(f)(q)
+        ref = jax.grad(r)(q)
+    finally:
+        ta._INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

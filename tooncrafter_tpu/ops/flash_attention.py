@@ -490,6 +490,73 @@ def _mh_bwd(heads, scale, res, g):
 flash_attention_mh.defvjp(_mh_fwd, _mh_bwd)
 
 
+def _packed_direct_blk(s: int, c: int, heads: int) -> int:
+    """q-block for binding the packed (B,S,3C) array straight into the
+    kernel (two views: q-blocked + full KV-resident) with in-kernel
+    64-aligned lane slicing — no materialized q/k/v slice copies.
+
+    Measured envelope (tools/bench_attn1_packed.py, full LN+proj+attn+out
+    complex): ds1 c=320 blk=512 6.14->5.40 ms, ds2 c=640 blk=640
+    2.30->2.28; ds4 c=1280 LOSES (1.83->2.01, full-width KV blocks
+    outweigh the small slice) so it keeps the sliced path."""
+    if c % heads or c // heads != 64:
+        return 0
+    blk = {320: 512, 640: 640}.get(c, 0)
+    return blk if blk and s % blk == 0 and s <= 4096 else 0
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "blk_q"))
+def _flash_mh_packed(qkv, heads: int, scale: float, blk_q: int):
+    """Packed-QKV single-pass flash: qkv (B, S, 3C) bound twice — a
+    q-blocked view and a KV-resident full view — q/k/v carved out of the
+    lane dim inside the kernel (64-aligned slices; BlockSpec minor dims
+    stay full-width, which is what Mosaic requires)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    d = c // heads
+    n_q = s // blk_q
+    s2 = scale * _LOG2E
+
+    def kernel(q_ref, kv_ref, o_ref):
+        qb = q_ref[0]            # (blk_q, 3C) — q lanes [0:C)
+        kvb = kv_ref[0]          # (S, 3C) — k lanes [C:2C), v [2C:3C)
+        outs = []
+        for h in range(heads):
+            lo = h * d
+            qh = qb[:, lo:lo + d]
+            kh = kvb[:, c + lo:c + lo + d]
+            vh = kvb[:, 2 * c + lo:2 * c + lo + d]
+            sc = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * s2
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp2(sc - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            acc = jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            outs.append((acc / l).astype(o_ref.dtype))
+        o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_q),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, c3), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, s, c3), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, c), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(qkv, qkv)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def flash_attention_packed(qkv, heads: int, scale: Optional[float] = None):
     """Self-attention over a packed (B, S, 3*H*D) projection.
@@ -501,6 +568,10 @@ def flash_attention_packed(qkv, heads: int, scale: Optional[float] = None):
     c = c3 // 3
     if scale is None:
         scale = (c // heads) ** -0.5
+    if _on_tpu() or _INTERPRET:
+        dblk = _packed_direct_blk(s, c, heads)
+        if dblk:
+            return _flash_mh_packed(qkv, heads, scale, dblk)
     q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
     blk = _mh_blk(s, s, c, heads)
     if (_on_tpu() or _INTERPRET) and blk:

@@ -61,8 +61,24 @@ def use_kernel(t: int, p: int, d: int, *, mask=None, rel_k=None,
             and (_on_tpu() or _INTERPRET))
 
 
+def _xla_ptc(q, k, v, heads: int, scale: float):
+    """Differentiable XLA reference form of the per-pixel T-attention,
+    same fp32-softmax semantics as the kernel."""
+    b, p, t, inner = q.shape
+    d = inner // heads
+    qh = q.reshape(b, p, t, heads, d)
+    kh = k.reshape(b, p, t, heads, d)
+    vh = v.reshape(b, p, t, heads, d)
+    logits = jnp.einsum("bpthd,bpshd->bphts", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bphts,bpshd->bpthd", probs, vh,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return out.reshape(b, p, t, inner)
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "scale"))
-def temporal_attention_ptc(q, k, v, *, heads: int, scale: float):
+def _ptc_kernel_call(q, k, v, *, heads: int, scale: float):
     """q,k,v: (B, P, T, heads*d) -> out (B, P, T, heads*d).
 
     Heads stay packed in the minor axis — blocks carry the full `inner`
@@ -106,3 +122,32 @@ def temporal_attention_ptc(q, k, v, *, heads: int, scale: float):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
     )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ptc(q, k, v, heads: int, scale: float):
+    return _ptc_kernel_call(q, k, v, heads=heads, scale=scale)
+
+
+def _ptc_fwd(q, k, v, heads, scale):
+    return _ptc(q, k, v, heads, scale), (q, k, v)
+
+
+def _ptc_bwd(heads, scale, res, g):
+    # backward recomputes through the differentiable XLA form (house
+    # pattern, see ops/temporal_conv.py) so the Pallas forward stays a
+    # leaf — without this, jax.grad through a training step on TPU dies
+    # inside the pallas_call
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _xla_ptc(a, b, c, heads, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_ptc.defvjp(_ptc_fwd, _ptc_bwd)
+
+
+def temporal_attention_ptc(q, k, v, *, heads: int, scale: float):
+    """Per-pixel attention over T, (B, P, T, heads*d) in/out; Pallas
+    kernel forward (coverage per `use_kernel`), XLA-recompute backward."""
+    return _ptc(q, k, v, heads, scale)
