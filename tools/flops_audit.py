@@ -86,8 +86,11 @@ def measure(name, fn, args, n_timed=8):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--only", default="unet,encode,decode,denoise")
+    p.add_argument("--batches", default="1,2",
+                   help="clip batch sizes to measure (comma-separated)")
     args = p.parse_args()
     phases = set(args.only.split(","))
+    batches = tuple(int(b) for b in args.batches.split(","))
 
     from tooncrafter_tpu.models.diffusion import ModelConfig, ToonCrafter
     from tooncrafter_tpu.sampling.ddim import GuidanceConfig
@@ -108,7 +111,7 @@ def main():
             return model.unet.apply({"params": params["unet"]}, x, ts, ctx,
                                     fs)
 
-        for nb, tag in ((2, "unet_cfg_fwd_b1clip"), (4, "unet_cfg_fwd_b2clip")):
+        for nb, tag in [(2 * b, f"unet_cfg_fwd_b{b}clip") for b in batches]:
             x = jnp.zeros((nb, t, lh, lw, 8), jnp.bfloat16)
             ts = jnp.full((nb,), 500.0)
             ctx = jnp.zeros((nb, 77 + t * 16, 1024), jnp.bfloat16)
@@ -123,7 +126,7 @@ def main():
         def enc(params, video, rng):
             return model.encode_first_stage(params, video, rng=rng)
 
-        for b in (1, 2):
+        for b in batches:
             video = jnp.zeros((b, t, h_px, w_px, 3), jnp.bfloat16)
             measure(f"encode_b{b}", enc, (full, video, jax.random.PRNGKey(0)),
                     n_timed=4)
@@ -136,7 +139,7 @@ def main():
             return model.decode_first_stage(params, z, refs)
 
         taps = model._tap_shapes(h_px, w_px)
-        for b in (1, 2):
+        for b in batches:
             z = jnp.zeros((b, t, lh, lw, 4), jnp.bfloat16)
             refs = [jnp.zeros((b, 2, th, tw, tc), jnp.bfloat16)
                     for (th, tw, tc) in taps]
@@ -151,7 +154,7 @@ def main():
             return model.denoise(params, x_T, contexts, concat, fs, rng,
                                  guidance, ddim_steps=50)
 
-        for b in (1, 2):
+        for b in batches:
             # fp32 latent carry, exactly like Pipeline._denoise (x_T comes
             # from jax.random.normal; schedule math is fp32)
             x_T = jnp.zeros((b, t, lh, lw, 4), jnp.float32)
