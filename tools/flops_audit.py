@@ -17,6 +17,9 @@ Usage: python tools/flops_audit.py [--only unet,decode,denoise,encode]
 from __future__ import annotations
 
 import argparse
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import time
 

@@ -9,6 +9,9 @@ Prints wall-clock per forward, achieved TFLOP/s and MFU, and (with
 from __future__ import annotations
 
 import argparse
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import collections
 import glob
 import gzip
