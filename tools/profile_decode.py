@@ -6,8 +6,11 @@ Usage:  python tools/profile_decode.py [--trace]
 from __future__ import annotations
 
 import argparse
+import os as _os
 import sys
 import time
+
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
