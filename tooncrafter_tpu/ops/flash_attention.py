@@ -56,10 +56,14 @@ def _pick_fwd_blocks(sq: int, sk: int):
     """(blk_q, blk_k) for the forward kernel — swept on v5e
     (tools/bench_flash2.py). The standalone winner at the ds1 site
     (narrow q x full k, 5.64 vs 6.40 ms) measured SLOWER inside the
-    full UNet (288.6 vs 285.7 ms) — kept out; only the giant fusion
-    site's 1024x1024 preference (7.81 vs 8.27 ms) is applied."""
+    full UNet (288.6 vs 285.7 ms) — kept out; the giant fusion
+    site prefers 1024-row q blocks (7.81 vs 8.27 ms at 1024x1024)
+    with the widest KV block that divides Sk — fewer online-softmax
+    correction rounds per q block (A/B'd via tools/profile_decode.py)."""
     if max(sq, sk) >= 8192 and sq % 1024 == 0 and sk % 1024 == 0:
-        return 1024, 1024
+        for bk in (2048, 1024):
+            if sk % bk == 0:
+                return 1024, bk
     return _pick_block(sq), _pick_block(sk)
 
 
@@ -610,6 +614,7 @@ def _flash_bh_with_lse(q, k, v, scale: float):
     blk_q, blk_k = _pick_fwd_blocks(sq, sk)
     n_q = pl.cdiv(sq, blk_q)
     n_k = pl.cdiv(sk, blk_k)
+    s2 = scale * _LOG2E  # exp2-domain softmax: exponent is a bare exp2
 
     def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref):
         kv_i = pl.program_id(2)
@@ -626,13 +631,13 @@ def _flash_bh_with_lse(q, k, v, scale: float):
         s = jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale                 # (blk_q, blk_k) fp32
+        ) * s2                    # (blk_q, blk_k) fp32, log2 units
 
         m_prev = m_ref[:]         # (blk_q, 128) broadcast storage
         m_cur = jnp.max(s, axis=-1, keepdims=True)          # (blk_q, 1)
         m_new = jnp.maximum(m_prev[:, :1], m_cur)
-        correction = jnp.exp(m_prev[:, :1] - m_new)
-        p = jnp.exp(s - m_new)                               # (blk_q, blk_k)
+        correction = jnp.exp2(m_prev[:, :1] - m_new)
+        p = jnp.exp2(s - m_new)                              # (blk_q, blk_k)
         l_new = correction * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
@@ -645,7 +650,7 @@ def _flash_bh_with_lse(q, k, v, scale: float):
         @pl.when(kv_i == n_k - 1)
         def _finish():
             o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
-            lse_ref[0] = m_ref[:, :1] + jnp.log(l_ref[:, :1])
+            lse_ref[0] = (m_ref[:, :1] + jnp.log2(l_ref[:, :1])) * _LN2
 
     grid = (bh, n_q, n_k)
     out, lse = pl.pallas_call(
