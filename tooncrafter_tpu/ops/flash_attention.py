@@ -53,13 +53,21 @@ def _pick_block(s: int) -> int:
 
 
 def _pick_fwd_blocks(sq: int, sk: int):
-    """(blk_q, blk_k) for the forward kernel — swept on v5e
-    (tools/bench_flash2.py). The standalone winner at the ds1 site
-    (narrow q x full k, 5.64 vs 6.40 ms) measured SLOWER inside the
-    full UNet (288.6 vs 285.7 ms) — kept out; the giant fusion
-    site prefers 1024-row q blocks (7.81 vs 8.27 ms at 1024x1024)
-    with the widest KV block that divides Sk — fewer online-softmax
-    correction rounds per q block (A/B'd via tools/profile_decode.py)."""
+    """(blk_q, blk_k) for the forward kernel — swept on v5e at the REAL
+    folded fusion shapes (tools/bench_fusion2.py; the earlier
+    tools/bench_flash2.py sweep used the per-frame Sq=10240 proxy).
+    Level-2 site (8, 163840x20480, d=64): block choice is a wash —
+    104.4-109.8 ms across (1024,2048)/(512,4096)/(256,20480)/... —
+    the kernel is pinned at ~65 TF/s by d=64 (half-MXU contraction)
+    plus the per-score VPU softmax work; (512,2048) measured best.
+    Level-3 site (8, 40960x5120): whole-KV blocks won standalone
+    (11.2 ms (512,5120) vs 12.6 ms (1024,2048)) but BOTH standalone
+    winners measured at-or-above the shipped config inside the full
+    decode (354.5/355.5 vs 349-355 run spread) — in-context, the
+    fusion sites are insensitive to blocks, so the widely-tested
+    (1024, widest-bk) choice stays. The ds1 narrow-q standalone
+    winner (5.64 vs 6.40 ms) likewise measured SLOWER inside the
+    full UNet (288.6 vs 285.7 ms) — kept out."""
     if max(sq, sk) >= 8192 and sq % 1024 == 0 and sk % 1024 == 0:
         for bk in (2048, 1024):
             if sk % bk == 0:
