@@ -32,6 +32,7 @@ is grid-tiled when the weight/accumulator would not fit.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -309,9 +310,16 @@ def _xla_impl(x, a, b, kernel, bias, res, silu: bool, stats: bool):
     if stats:
         # inline XLA sums on purpose: they fuse into the conv epilogue
         # (consuming y as it streams), which A/B-measured faster than a
-        # separate Pallas stats pass (286 vs 292 ms full forward)
-        s1 = jnp.sum(y, axis=(1, 2), dtype=jnp.float32)
-        s2 = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=(1, 2))
+        # separate Pallas stats pass (286 vs 292 ms full forward).
+        # TC_STATS_BARRIER=1 forces the sums into a separate kernel
+        # instead (round-2 trace showed the epilogue demoting the conv
+        # emitter to ~41% MFU in context; standalone A/B was a wash —
+        # tools/bench_stats_barrier.py).
+        ys = y
+        if os.environ.get("TC_STATS_BARRIER"):
+            (ys,) = jax.lax.optimization_barrier((y,))
+        s1 = jnp.sum(ys, axis=(1, 2), dtype=jnp.float32)
+        s2 = jnp.sum(jnp.square(ys.astype(jnp.float32)), axis=(1, 2))
         return y, s1, s2
     return y
 
