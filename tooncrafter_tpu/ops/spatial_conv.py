@@ -301,6 +301,10 @@ def _xla_impl(x, a, b, kernel, bias, res, silu: bool, stats: bool):
     if silu:
         z = z * jax.nn.sigmoid(z)
     z = z.astype(x.dtype)
+    if os.environ.get("TC_PROLOGUE_BARRIER"):
+        # keep the f32 GN-affine+SiLU prologue OUT of the conv fusion so
+        # the conv sees a clean materialized bf16 input (emitter A/B)
+        (z,) = jax.lax.optimization_barrier((z,))
     y = jax.lax.conv_general_dilated(
         z, kernel, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
