@@ -38,6 +38,16 @@ def test_yaml_parses_fps_perframe_loop_keys():
     assert tcfg.loop_video is False  # absent in the reference training YAML
 
 
+def test_training_1024_yaml_parses():
+    # counterpart of /root/reference/configs/training_1024_v1.0/config.yaml
+    cfg = model_config_from_yaml(
+        os.path.join(REPO, "configs", "training_1024_v1.0.yaml"))
+    assert (cfg.latent_h, cfg.latent_w) == (72, 128)
+    assert cfg.base_scale == 0.3
+    assert cfg.fps_condition_type == "fps"
+    assert cfg.perframe_ae is True
+
+
 def test_defaults_match_reference_ctor():
     # ddpm3d.py:485-487 defaults
     cfg = ModelConfig()

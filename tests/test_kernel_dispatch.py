@@ -54,6 +54,33 @@ def test_temporal_conv_envelope():
     assert not tc._use_kernel(16, 40 * 64, 320, 640)
 
 
+def test_1024_geometry_dispatch():
+    """The 576x1024 model (inference/training_1024_v1.0: 72x128 latents,
+    ds levels 9216/2304/576 tokens) must keep the kernel predicates —
+    VERDICT r2 next #7."""
+    import tooncrafter_tpu.ops.flash_attention as fa
+    import tooncrafter_tpu.ops.fused_ff as ff
+
+    # spatial self-attn at ds1/ds2/ds4 (ds4 = 576 = 3*192)
+    for s in (9216, 2304, 576):
+        assert fa._pick_block(s) > 0, s
+        assert fa._use_kernel(s, s, 64), s
+    # dual-ref fusion attention sites at 576x1024 output (levels 2, 3)
+    assert fa._pick_fwd_blocks(16 * 144 * 256, 2 * 144 * 256) == (1024, 2048)
+    assert fa._pick_fwd_blocks(16 * 72 * 128, 2 * 72 * 128) == (1024, 2048)
+    # fused GEGLU FF at every level (2-clip CFG batch, 16 frames)
+    for seq, c in ((9216, 320), (2304, 640), (576, 1280)):
+        assert ff._mode(32 * seq, c, 4 * c, c) is not None, (seq, c)
+    # temporal convs dispatch at ds1/ds2; ds4 falls back (same as the
+    # 512 model's 10x16 level — weights alone blow the VMEM budget)
+    assert tc._use_kernel(16, 9216, 320, 320)
+    assert tc._use_kernel(16, 2304, 640, 640)
+    assert not tc._use_kernel(16, 576, 1280, 1280)
+    # per-pixel temporal attention at all three levels
+    for p in (9216, 2304, 576):
+        assert ta.use_kernel(16, p * 2, 64, inner=512), p
+
+
 def test_temporal_attention_envelope():
     # per-pixel T=16 attention at every UNet level, d=64
     for p in (40 * 64, 20 * 32, 10 * 16):

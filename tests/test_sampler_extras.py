@@ -34,6 +34,25 @@ def test_stochastic_encode_marginal():
     assert abs(float(jnp.std(x_t)) - expect_std) < 0.03
 
 
+def test_stochastic_encode_batch_invariant():
+    """Per-item key stacks make the drawn noise independent of batch
+    packing (utils/rngs discipline; VERDICT r2 weak #6)."""
+    from tooncrafter_tpu.utils import rngs as R
+
+    sched = S.build_schedule(use_dynamic_rescale=False,
+                             rescale_betas_zero_snr=False)
+    dd = S.build_ddim_schedule(sched, 10, eta=0.0, spacing="uniform")
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (3, 2, 4, 4, 4))
+    base = jax.random.PRNGKey(0)
+    keys = R.per_item_keys(base, [0, 1, 2])
+    batched = stochastic_encode(dd, x0, 5, keys)
+    for i in range(3):
+        solo = stochastic_encode(dd, x0[i:i + 1], 5,
+                                 R.per_item_keys(base, [i]))
+        np.testing.assert_array_equal(np.asarray(batched[i:i + 1]),
+                                      np.asarray(solo))
+
+
 def test_ddim_decode_from_partial_loop():
     sched = S.build_schedule(use_dynamic_rescale=False)
     dd = S.build_ddim_schedule(sched, 10, eta=0.0)

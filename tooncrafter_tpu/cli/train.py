@@ -99,9 +99,13 @@ def main(argv=None):
         fps_max=train_d.get("fps_max"),
         fixed_fps=train_d.get("fixed_fps"),
     )
+    # each host loads a disjoint shard of every epoch (the reference's
+    # DistributedSampler/worker split, main/utils_data.py:15-28); on a
+    # single host this is the identity
+    host_shard = (jax.process_index(), jax.process_count())
     loader = PrefetchLoader(ds, bs, tokenizer=tokenizer,
                             num_workers=dcfg.get("num_workers", 4),
-                            seed=args.seed)
+                            seed=args.seed, shard=host_shard)
 
     # optional validation split (reference validation_step, ddpm3d.py:399-406)
     val_d = dcfg.get("validation", {}).get("params", {})
@@ -116,7 +120,8 @@ def main(argv=None):
                                                 cfg.latent_w * 8]),
             fps_max=val_d.get("fps_max"), fixed_fps=val_d.get("fixed_fps"))
         val_loader = PrefetchLoader(val_ds, bs, tokenizer=tokenizer,
-                                    num_workers=2, seed=args.seed + 1)
+                                    num_workers=2, seed=args.seed + 1,
+                                    shard=host_shard)
 
     # ---- mesh / params / optimizer ----
     mesh = M.make_mesh(n_model=args.n_model_shards)

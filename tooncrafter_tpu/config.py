@@ -88,6 +88,11 @@ def model_config_from_dict(cfg: Dict[str, Any]) -> ModelConfig:
         use_dynamic_rescale=p.get("use_dynamic_rescale", True),
         base_scale=p.get("base_scale", 0.7),
         fps_condition_type=p.get("fps_condition_type", "fs"),
+        learn_logvar=p.get("learn_logvar", False),
+        logvar_init=p.get("logvar_init", 0.0),
+        original_elbo_weight=p.get("original_elbo_weight", 0.0),
+        l_simple_weight=p.get("l_simple_weight", 1.0),
+        noise_strength=p.get("noise_strength", 0.0),
         perframe_ae=p.get("perframe_ae", False),
         loop_video=p.get("loop_video", False),
         video_length=unet.get("temporal_length", 16),

@@ -109,11 +109,22 @@ class WebVidDataset:
 
 
 class PrefetchLoader:
-    """Thread-pooled shuffling batch loader with bounded prefetch."""
+    """Thread-pooled shuffling batch loader with bounded prefetch.
+
+    `shard=(index, count)` gives each training host a disjoint slice of
+    every epoch — the counterpart of the reference's rank/worker split
+    (`/root/reference/main/utils_data.py:15-28` shards an iterable dataset
+    across workers; DistributedSampler shards map-style data across
+    ranks). All hosts shuffle the full epoch with the same (seed, epoch)
+    stream and then take `order[index::count]`, so the shards are
+    disjoint, deterministic, and cover every row each epoch. Callers pass
+    `(jax.process_index(), jax.process_count())` (see cli/train.py); the
+    loader itself stays jax-free.
+    """
 
     def __init__(self, dataset, batch_size: int, tokenizer=None,
                  num_workers: int = 4, prefetch: int = 4, seed: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True, shard=None):
         self.ds = dataset
         self.bs = batch_size
         self.tokenizer = tokenizer
@@ -121,6 +132,13 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.drop_last = drop_last
+        if shard is None:
+            shard = (0, 1)
+        index, count = shard
+        if not (0 <= index < count):
+            raise ValueError(f"shard index {index} not in [0, {count})")
+        self.shard_index = int(index)
+        self.shard_count = int(count)
         self._epoch = 0
 
     def _collate(self, samples: List[Dict]) -> Dict[str, np.ndarray]:
@@ -139,9 +157,13 @@ class PrefetchLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = list(range(len(self.ds)))
         # reshuffle per epoch (the reference's PL loader reshuffles every
-        # epoch); deterministic given (seed, epoch)
+        # epoch); deterministic given (seed, epoch). The shuffle covers the
+        # FULL table on every host (same stream), then each host keeps its
+        # strided slice — disjoint across hosts by construction.
         random.Random(f"{self.seed}:{self._epoch}").shuffle(order)
         self._epoch += 1
+        if self.shard_count > 1:
+            order = order[self.shard_index::self.shard_count]
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         lock = threading.Lock()

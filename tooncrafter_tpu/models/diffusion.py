@@ -54,6 +54,16 @@ class ModelConfig:
     use_dynamic_rescale: bool = True
     base_scale: float = 0.7
     turning_step: int = 400
+    # loss weighting (ddpm3d.py:62-71,775-794). Shipped configs leave all
+    # four at the inert defaults; the knobs are honored (not ignored) —
+    # see training/trainer.diffusion_loss.
+    learn_logvar: bool = False
+    logvar_init: float = 0.0
+    original_elbo_weight: float = 0.0
+    l_simple_weight: float = 1.0
+    # offset-noise strength (ddpm3d.py:753-757): adds noise_strength *
+    # per-(batch,frame,channel) noise broadcast over H, W
+    noise_strength: float = 0.0
     # which batch signal feeds the fps embedding during training:
     # 'fs' -> frame_stride, 'fps' -> real fps (ddpm3d.py:486,1124-1129);
     # the shipped ToonCrafter YAMLs set 'fps'

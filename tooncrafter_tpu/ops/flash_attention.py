@@ -46,7 +46,9 @@ def _on_tpu() -> bool:
 def _pick_block(s: int) -> int:
     """Largest MXU-aligned tile that divides the sequence exactly (the
     kernel has no ragged-block masking)."""
-    for blk in (1280, 1024, 768, 640, 512, 384, 320, 256, 160, 128):
+    # 192 covers the 1024-model ds4 level (18x32 = 576 tokens = 3*192);
+    # every 512-model seq already divides a larger block
+    for blk in (1280, 1024, 768, 640, 512, 384, 320, 256, 192, 160, 128):
         if s % blk == 0:
             return blk
     return 0

@@ -295,14 +295,45 @@ def _pallas_fused_conv(x, a, b, kernel, bias, res, silu: bool,
     return out
 
 
-def _xla_impl(x, a, b, kernel, bias, res, silu: bool, stats: bool):
+# A/B knobs for the conv prologue/epilogue lowering, read ONCE at import
+# (flipping the env after a model has traced in-process has no effect —
+# recorded mistake from round 2; tools set the module globals directly
+# between traces instead). Numerics note on the prologue dtype: the
+# reference (`lvdm/basics.py:76-87` GroupNorm32 under autocast) applies
+# the GN affine in fp32, casts the result to half precision, and runs
+# SiLU + conv in half — so "ref" matches torch bit-for-bit at the cast
+# points; "f32" (round-1/2 default) keeps SiLU in fp32 too and is a
+# strict precision superset. "bf16" folds (A, B) to bf16 and runs the
+# whole prologue in compute dtype.
+# default "ref": A/B-measured ≥ "f32" at every UNet conv shape
+# (tools/bench_prologue.py, .audit_r03.jsonl — +17% at the 10x16x1280
+# site) and bit-matches torch's autocast cast points.
+_PROLOGUE_DTYPE = os.environ.get("TC_PROLOGUE_DTYPE", "ref")
+_PROLOGUE_BARRIER = bool(os.environ.get("TC_PROLOGUE_BARRIER"))
+_STATS_BARRIER = bool(os.environ.get("TC_STATS_BARRIER"))
+
+
+def _apply_prologue(x, a, b, silu: bool):
+    """GN-affine (+SiLU) prologue at the configured precision."""
     bshape = (x.shape[0], 1, 1, x.shape[-1])
+    if _PROLOGUE_DTYPE == "bf16" and x.dtype != jnp.float32:
+        z = x * a.astype(x.dtype).reshape(bshape) \
+            + b.astype(x.dtype).reshape(bshape)
+        if silu:
+            z = z * jax.nn.sigmoid(z)
+        return z
     z = x.astype(jnp.float32) * a.reshape(bshape) + b.reshape(bshape)
+    if _PROLOGUE_DTYPE == "ref":
+        z = z.astype(x.dtype)
     if silu:
         z = z * jax.nn.sigmoid(z)
-    z = z.astype(x.dtype)
-    if os.environ.get("TC_PROLOGUE_BARRIER"):
-        # keep the f32 GN-affine+SiLU prologue OUT of the conv fusion so
+    return z.astype(x.dtype)
+
+
+def _xla_impl(x, a, b, kernel, bias, res, silu: bool, stats: bool):
+    z = _apply_prologue(x, a, b, silu)
+    if _PROLOGUE_BARRIER:
+        # keep the GN-affine+SiLU prologue OUT of the conv fusion so
         # the conv sees a clean materialized bf16 input (emitter A/B)
         (z,) = jax.lax.optimization_barrier((z,))
     y = jax.lax.conv_general_dilated(
@@ -315,12 +346,12 @@ def _xla_impl(x, a, b, kernel, bias, res, silu: bool, stats: bool):
         # inline XLA sums on purpose: they fuse into the conv epilogue
         # (consuming y as it streams), which A/B-measured faster than a
         # separate Pallas stats pass (286 vs 292 ms full forward).
-        # TC_STATS_BARRIER=1 forces the sums into a separate kernel
+        # _STATS_BARRIER forces the sums into a separate kernel
         # instead (round-2 trace showed the epilogue demoting the conv
         # emitter to ~41% MFU in context; standalone A/B was a wash —
         # tools/bench_stats_barrier.py).
         ys = y
-        if os.environ.get("TC_STATS_BARRIER"):
+        if _STATS_BARRIER:
             (ys,) = jax.lax.optimization_barrier((y,))
         s1 = jnp.sum(ys, axis=(1, 2), dtype=jnp.float32)
         s2 = jnp.sum(jnp.square(ys.astype(jnp.float32)), axis=(1, 2))

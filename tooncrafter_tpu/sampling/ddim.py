@@ -150,9 +150,15 @@ def ddim_sample(
 
 def stochastic_encode(ddim: DDIMSchedule, x0, step_index: int, rng):
     """Noise x0 to the DDIM step `step_index` marginal (ddim.py:303-317):
-    x_t = sqrt(a)x0 + sqrt(1-a)eps over the DDIM sub-schedule."""
+    x_t = sqrt(a)x0 + sqrt(1-a)eps over the DDIM sub-schedule.
+
+    `rng` may be a plain key or a (B, 2) per-item key stack (utils/rngs) —
+    the per-item form keeps the drawn noise batch-size invariant like
+    every other sampling path."""
+    from tooncrafter_tpu.utils import rngs as R
+
     a = float(ddim.alphas[step_index])
-    noise = jax.random.normal(rng, x0.shape, x0.dtype)
+    noise = R.normal(rng, x0.shape, x0.dtype)
     return np.sqrt(a) * x0 + np.sqrt(1.0 - a) * noise
 
 

@@ -134,9 +134,16 @@ def diffusion_loss(model: ToonCrafter, train_params, frozen_params, batch,
     concat = jnp.tile(z_cond, (1, t, 1, 1, 1))
 
     # --- diffusion target ---
+    mcfg = model.config
     ts = jax.random.randint(rngs[3], (b,), 0, sched.num_timesteps)
     x0 = sched.dynamic_rescale(z, ts)
     noise = jax.random.normal(rngs[4], z.shape, z.dtype)
+    if mcfg.noise_strength > 0:
+        # offset noise (ddpm3d.py:753-757): per-(batch, frame, channel)
+        # component broadcast over H, W — channels-last layout here
+        offset = jax.random.normal(
+            rngs[6], (b, t, 1, 1, z.shape[-1]), z.dtype)
+        noise = noise + mcfg.noise_strength * offset
     x_noisy = sched.q_sample(x0, ts, noise)
     target = sched.get_v(x0, noise, ts)
 
@@ -147,9 +154,27 @@ def diffusion_loss(model: ToonCrafter, train_params, frozen_params, batch,
         rngs={"dropout": rngs[5]} if train else None)
 
     loss_simple = jnp.mean(jnp.square(pred - target), axis=(1, 2, 3, 4))
-    loss = jnp.mean(loss_simple)
+    # per-timestep logvar weighting + VLB term (ddpm3d.py:775-794):
+    #   loss = l_simple_weight * mean(loss_simple/exp(logvar_t) + logvar_t)
+    #        + original_elbo_weight * mean(lvlb_weights[t] * loss_simple)
+    # At the shipped values (logvar 0, elbo weight 0, l_simple 1) this
+    # reduces exactly to mean(loss_simple).
+    if mcfg.learn_logvar:
+        logvar = train_params["logvar"]["logvar"]
+    else:
+        logvar = jnp.full((sched.num_timesteps,), mcfg.logvar_init,
+                          jnp.float32)
+    logvar_t = logvar[ts]
+    loss_gamma = loss_simple / jnp.exp(logvar_t) + logvar_t
+    loss = mcfg.l_simple_weight * jnp.mean(loss_gamma)
+    loss_vlb = jnp.mean(jnp.asarray(sched.lvlb_weights)[ts] * loss_simple)
+    loss = loss + mcfg.original_elbo_weight * loss_vlb
     metrics = {"loss": loss, "loss_simple": jnp.mean(loss_simple),
+               "loss_vlb": loss_vlb,
                "t_mean": jnp.mean(ts.astype(jnp.float32))}
+    if mcfg.learn_logvar:
+        metrics["loss_gamma"] = jnp.mean(loss_gamma)
+        metrics["logvar"] = jnp.mean(logvar)
     return loss, metrics
 
 
@@ -166,6 +191,12 @@ def make_train_state(model: ToonCrafter, params, cfg: TrainConfig,
                      use_ema: bool = False) -> Tuple[TrainState,
                                                      optax.GradientTransformation]:
     train, frozen = split_trainable(params)
+    if model.config.learn_logvar and "logvar" not in train:
+        # the reference promotes its per-timestep logvar buffer to a
+        # trainable nn.Parameter under learn_logvar (ddpm3d.py:119-122)
+        train = dict(train, logvar={"logvar": jnp.full(
+            (model.schedule.num_timesteps,), model.config.logvar_init,
+            jnp.float32)})
     opt = make_optimizer(cfg)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
