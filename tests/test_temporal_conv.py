@@ -56,7 +56,7 @@ def test_silu_without_affine_consistent_across_backends():
     w = jax.random.normal(jax.random.PRNGKey(8), (3, 128, 128)) * 0.05
     b = jnp.zeros((128,))
     ref = tc.temporal_conv3(jax.nn.silu(x), w, b)
-    got_xla = tc._xla_tconv(x, w, b, None, None, None, True, False)
+    got_xla = tc._xla_tconv(x, w, b, None, None, None, None, True, False)
     np.testing.assert_allclose(np.asarray(got_xla), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
     old = tc._INTERPRET
@@ -118,7 +118,7 @@ def test_fused_prologue_grad():
 
     def loss_ref(x, w):
         z = jax.nn.silu(group_norm(x, scale, bias, 32, 1e-5))
-        return jnp.sum(tc._xla_tconv(z, w, b, None, None, None, False, False) ** 2)
+        return jnp.sum(tc._xla_tconv(z, w, b, None, None, None, None, False, False) ** 2)
 
     gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
     gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
@@ -142,14 +142,50 @@ def test_residual_and_stats_epilogue(monkeypatch):
         y_ref = tc.temporal_conv3(x, w, b) + res
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    atol=1e-4, rtol=1e-4)
+        # stats are PER-FRAME (B, T, C) sums over the spatial axes
+        assert s1.shape == (y.shape[0], y.shape[1], y.shape[-1])
         np.testing.assert_allclose(
-            np.asarray(s1), np.asarray(jnp.sum(y, axis=(1, 2, 3))),
+            np.asarray(s1), np.asarray(jnp.sum(y, axis=(2, 3))),
             atol=1e-3, rtol=1e-4)
         np.testing.assert_allclose(
-            np.asarray(s2), np.asarray(jnp.sum(y ** 2, axis=(1, 2, 3))),
+            np.asarray(s2), np.asarray(jnp.sum(y ** 2, axis=(2, 3))),
             atol=1e-3, rtol=1e-4)
 
     check()                                   # XLA fallback
     monkeypatch.setattr(tc, "_INTERPRET", True)
     assert tc._use_kernel(8, 256, 128, 128)
     check()                                   # Pallas interpret
+
+
+def test_out_scale_epilogue(monkeypatch):
+    """out_scale rides the epilogue: x + a*stack == the dual-ref alpha
+    merge a*(x+stack) + (1-a)*x (autoencoder_dualref.py:892-911), both
+    XLA and (interpret-mode) Pallas; gradient flows to the scale."""
+    x = jax.random.normal(jax.random.PRNGKey(21), (1, 8, 16, 16, 128))
+    w = jax.random.normal(jax.random.PRNGKey(22), (3, 128, 128)) * 0.05
+    b = jnp.full((128,), 0.1)
+    a = jnp.float32(0.37)
+
+    def check():
+        y, s1, s2 = tc.temporal_conv3(x, w, b, residual=x, out_scale=a,
+                                      return_stats=True)
+        stack = tc.temporal_conv3(x, w, b)
+        merged = a * (x + stack) + (1 - a) * x
+        np.testing.assert_allclose(np.asarray(y), np.asarray(merged),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(jnp.sum(y, axis=(2, 3))),
+            atol=1e-3, rtol=1e-4)
+
+    check()                                   # XLA fallback
+    monkeypatch.setattr(tc, "_INTERPRET", True)
+    assert tc._use_kernel(8, 256, 128, 128)
+    check()                                   # Pallas interpret
+    monkeypatch.setattr(tc, "_INTERPRET", False)
+
+    ga = jax.grad(lambda s: jnp.sum(
+        tc.temporal_conv3(x, w, b, residual=x, out_scale=s)))(a)
+    ga_ref = jax.grad(lambda s: jnp.sum(
+        x + s * tc.temporal_conv3(x, w, b)))(a)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref),
+                               rtol=1e-4)

@@ -1,0 +1,134 @@
+"""Single-chip training-step timing (VERDICT r2 next #9).
+
+The reference publishes ~3 s/step as its training hint (bs=2/GPU x 8
+A100s x grad-accum 2, configs/training_512_v1.0/config.yaml:155). Full
+fp32 AdamW state for the 1.1B-param UNet does not fit one 16 GB v5e
+(PARITY.md), so this benches the largest single-chip configuration that
+does and records exactly what it measured:
+
+  * bs=1, 320x512x16, remat (use_checkpoint) ON, EMA off
+  * AdamW with bf16 first moment (mu_dtype) — second moment fp32
+  * full diffusion_loss (frozen VAE encode + CLIP text/image cond +
+    UNet fwd/bwd) — the same work the reference step does
+  * optionally --grad-only: value_and_grad without the optimizer
+    update, the pure compute number
+
+Appends one JSON line per measurement to .audit_r03.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import time
+
+import jax
+import jax.numpy as jnp
+
+OUT = "/root/repo/.audit_r03.jsonl"
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[trainbench +{time.time() - T0:.0f}s] {msg}", flush=True)
+
+
+def emit(rec):
+    rec["t_wall"] = round(time.time() - T0, 1)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    log(json.dumps(rec))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grad-only", action="store_true")
+    ap.add_argument("--bs", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=3)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import optax
+
+    from tooncrafter_tpu.models.diffusion import ModelConfig, ToonCrafter
+    from tooncrafter_tpu.training import trainer as T
+    from tooncrafter_tpu.utils.synth import synth_params
+
+    cfg = ModelConfig(compute_dtype=jnp.bfloat16, use_checkpoint=True)
+    model = ToonCrafter(cfg)
+    shapes = model.param_shapes()
+    log(f"backend={jax.default_backend()}")
+    params = synth_params(shapes)
+    train, frozen = T.split_trainable(params)
+    n_train = sum(x.size for x in jax.tree_util.tree_leaves(train))
+    log(f"trainable params: {n_train/1e9:.2f}B")
+
+    b, t = args.bs, cfg.video_length
+    batch = {
+        "video": jnp.zeros((b, t, cfg.latent_h * 8, cfg.latent_w * 8, 3),
+                           jnp.bfloat16),
+        "tokens": jnp.zeros((b, 77), jnp.int32),
+        "null_tokens": jnp.zeros((b, 77), jnp.int32),
+        "fs": jnp.full((b,), 10, jnp.int32),
+        "fps": jnp.full((b,), 8.0, jnp.float32),
+    }
+    rng = jax.random.PRNGKey(0)
+
+    def loss_fn(tp, fr, bt):
+        loss, metrics = T.diffusion_loss(model, tp, fr, bt, rng)
+        return loss, metrics
+
+    if args.grad_only:
+        @jax.jit
+        def step(tp, fr, bt):
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(tp, fr, bt)
+            return loss, optax.global_norm(grads)
+
+        arg = (train, frozen, batch)
+        name = f"trainstep_gradonly_bs{b}"
+    else:
+        # bf16 mu: the fp32 (params, mu, nu) triple alone is 13.2 GB and
+        # evicts the activations; bf16 mu fits with remat on
+        opt = optax.adamw(1e-5, mu_dtype=jnp.bfloat16, weight_decay=1e-2)
+        opt_state = opt.init(train)
+
+        @jax.jit
+        def step(tp, os_, fr, bt):
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(tp, fr, bt)
+            updates, os_ = opt.update(grads, os_, tp)
+            return optax.apply_updates(tp, updates), os_, loss
+
+        arg = (train, opt_state, frozen, batch)
+        name = f"trainstep_adamw_bf16mu_bs{b}"
+
+    t0 = time.time()
+    out = step(*arg)
+    jax.block_until_ready(out)
+    # block_until_ready under-synchronizes through the axon relay; force a
+    # host read of one scalar
+    float(jnp.mean(jax.tree_util.tree_leaves(out)[-1].astype(jnp.float32)))
+    compile_s = time.time() - t0
+    log(f"compiled+first step in {compile_s:.0f}s")
+
+    times = []
+    for _ in range(args.steps):
+        s = time.perf_counter()
+        out = step(*arg)
+        float(jnp.mean(
+            jax.tree_util.tree_leaves(out)[-1].astype(jnp.float32)))
+        times.append(time.perf_counter() - s)
+    times.sort()
+    emit({"name": name, "median_s": round(times[len(times) // 2], 3),
+          "min_s": round(times[0], 3), "compile_s": round(compile_s, 1),
+          "remat": True, "ema": False, "note":
+          "single chip; reference hint ~3 s/step at bs2x8gpu+accum2"})
+
+
+if __name__ == "__main__":
+    main()

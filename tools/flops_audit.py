@@ -30,8 +30,10 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 V5E_PEAK_TFLOPS = 197.0  # bf16
-OUT = "/root/repo/.audit_r02.jsonl"
+OUT = "/root/repo/.audit_r03.jsonl"
 T0 = time.time()
+TAG = None  # set by --tag; suffixes every record name so A/B variants
+#             can't be mistaken for the current baseline (ADVICE r2 #1)
 
 
 def log(msg):
@@ -52,6 +54,8 @@ def sync(y):
 
 def measure(name, fn, args, n_timed=8):
     """Compile fn(*args), read cost_analysis flops, time it."""
+    if TAG:
+        name = f"{name}_{TAG}"
     t0 = time.time()
     lowered = jax.jit(fn).lower(*args)
     compiled = lowered.compile()
@@ -91,7 +95,12 @@ def main():
     p.add_argument("--only", default="unet,encode,decode,denoise")
     p.add_argument("--batches", default="1,2",
                    help="clip batch sizes to measure (comma-separated)")
+    p.add_argument("--tag", default=None,
+                   help="suffix for record names (A/B experiment label)")
     args = p.parse_args()
+    if args.tag:
+        global TAG
+        TAG = args.tag
     phases = set(args.only.split(","))
     batches = tuple(int(b) for b in args.batches.split(","))
 

@@ -80,7 +80,9 @@ class TemporalConvBlock(nn.Module):
                     h = conv(h, prologue=aff, residual=x)
                 else:
                     h, s1, s2 = conv(h, prologue=aff, return_stats=True)
-                    st = (s1, s2)
+                    # per-frame (B,T,C) sums -> (B,C): the next norm
+                    # spans (T,H,W)
+                    st = (s1.sum(1), s2.sum(1))
             else:
                 h = norm(h)
                 if i > 1:

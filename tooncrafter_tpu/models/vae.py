@@ -39,7 +39,11 @@ class ResnetBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, stats=None, return_stats: bool = False,
+                 deterministic: bool = True):
+        """stats: optional per-sample (N, C) sums of x from the producer's
+        epilogue — norm1 then costs no pass over x. return_stats=True also
+        returns (N, C) sums of the output (conv2's epilogue)."""
         out_ch = self.out_channels or x.shape[-1]
         in_ch = x.shape[-1]
         norm1 = GroupNormAct(name="norm1")
@@ -52,16 +56,21 @@ class ResnetBlock(nn.Module):
             # GN+swish folds into each conv's prologue; conv1's stats
             # epilogue feeds norm2 and the skip-add rides conv2's
             # epilogue (ops/spatial_conv.py)
-            h, s1, s2 = conv1(x, prologue=norm1(x, return_affine=True),
-                              return_stats=True)
-            h = conv2(h, prologue=norm2(h, return_affine=True,
-                                        stats=(s1, s2)),
-                      residual=skip)
-            return h
+            h, s1, s2 = conv1(
+                x, prologue=norm1(x, return_affine=True, stats=stats),
+                return_stats=True)
+            return conv2(h, prologue=norm2(h, return_affine=True,
+                                           stats=(s1, s2)),
+                         residual=skip, return_stats=return_stats)
         h = conv1(norm1(x))
         h = norm2(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return skip + conv2(h)
+        out = skip + conv2(h)
+        if return_stats:
+            s1 = jnp.sum(out, axis=(1, 2), dtype=jnp.float32)
+            s2 = jnp.sum(jnp.square(out.astype(jnp.float32)), axis=(1, 2))
+            return out, s1, s2
+        return out
 
 
 class AttnBlock(nn.Module):
@@ -98,11 +107,11 @@ class Upsample(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_stats: bool = False):
         # nearest-2x + SAME conv folded into one input-dilated conv
         # (ops/resize.upsample2x_conv3x3); params stay nn.Conv-shaped
         return UpsampleConv2x(x.shape[-1], dtype=self.dtype,
-                              name="conv")(x)
+                              name="conv")(x, return_stats=return_stats)
 
 
 class DownLevel(nn.Module):

@@ -61,7 +61,17 @@ class TemporalResStack(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, merge_scale=None, stats=None,
+                 return_stats: bool = False, deterministic: bool = True):
+        """merge_scale: optional traced scalar a — returns x + a*stack(x)
+        instead of x + stack(x), with the scale riding the closing conv's
+        epilogue (the VideoResBlock alpha merge
+        `a*(x + stack(x)) + (1-a)*x`, autoencoder_dualref.py:892-911,
+        algebraically folded — one pass instead of three).
+
+        stats: optional per-frame (B, T, C) sums of x from the producer's
+        epilogue — in_norm then costs no pass over x. return_stats=True
+        also returns per-frame sums of the OUTPUT (merged) tensor."""
         c = x.shape[-1]
         in_norm = GroupNormAct(eps=1e-5, name="in_norm")
         in_conv = TemporalConv3(c, dtype=self.dtype, name="in_conv")
@@ -71,18 +81,30 @@ class TemporalResStack(nn.Module):
         # GN+SiLU folds into each conv's in-VMEM prologue; the dropout
         # (training) path keeps the unfused order
         if deterministic or self.dropout == 0.0:
-            h, s1, s2 = in_conv(x, prologue=in_norm(x, return_affine=True),
-                                return_stats=True)
+            st = None if stats is None \
+                else (stats[0].sum(1), stats[1].sum(1))  # norm spans T,H,W
+            h, s1, s2 = in_conv(
+                x, prologue=in_norm(x, return_affine=True, stats=st),
+                return_stats=True)
             # in_conv's stats epilogue feeds out_norm; the closing
-            # residual rides out_conv's epilogue
-            return out_conv(h, prologue=out_norm(h, return_affine=True,
-                                                 stats=(s1, s2)),
-                            residual=x)
+            # residual (and the alpha merge) ride out_conv's epilogue
+            aff = out_norm(h, return_affine=True,
+                           stats=(s1.sum(1), s2.sum(1)))
+            return out_conv(h, prologue=aff, residual=x,
+                            out_scale=merge_scale,
+                            return_stats=return_stats)
         h = in_conv(x, prologue=in_norm(x, return_affine=True))
         h = out_norm(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = out_conv(h)
-        return x + h
+        if merge_scale is not None:
+            h = h * merge_scale.astype(h.dtype)
+        out = x + h
+        if return_stats:
+            s1 = jnp.sum(out, axis=(2, 3), dtype=jnp.float32)
+            s2 = jnp.sum(jnp.square(out.astype(jnp.float32)), axis=(2, 3))
+            return out, s1, s2
+        return out
 
 
 class VideoResBlock(nn.Module):
@@ -99,22 +121,33 @@ class VideoResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, stats=None, return_stats: bool = False,
+                 deterministic: bool = True):
+        """stats in/out: per-frame (B, T, C) sums chained through every
+        conv epilogue — a block whose input stats ride in takes NO
+        standalone reduce pass over the level tensor."""
         # x: (B, T, H, W, C)
         b, t = x.shape[:2]
         flat, _, _ = _fold(x)
-        flat = ResnetBlock(self.out_channels, self.dropout, self.dtype,
-                           name="spatial")(flat, deterministic=deterministic)
+        st_flat = None if stats is None else \
+            (stats[0].reshape(b * t, -1), stats[1].reshape(b * t, -1))
+        flat, s1, s2 = ResnetBlock(
+            self.out_channels, self.dropout, self.dtype, name="spatial")(
+            flat, stats=st_flat, return_stats=True,
+            deterministic=deterministic)
+        rb_stats = (s1.reshape(b, t, -1), s2.reshape(b, t, -1))
         x = flat.reshape((b, t) + flat.shape[1:])
         if not self.temporal:
-            return x
-        x_mix = x
-        x = TemporalResStack(self.dropout, self.dtype, name="time_stack")(
-            x, deterministic=deterministic)
+            return (x,) + rb_stats if return_stats else x
+        # a*(x + stack(x)) + (1-a)*x == x + a*stack(x): the merge rides
+        # the time stack's closing conv epilogue instead of a third pass
+        # over the level tensor (autoencoder_dualref.py:892-911)
         mix = self.param("mix_factor", nn.initializers.constant(self.alpha),
                          (1,), jnp.float32)
-        a = jax.nn.sigmoid(mix).astype(x.dtype)
-        return a * x + (1.0 - a) * x_mix
+        a = jax.nn.sigmoid(mix)[0]
+        return TemporalResStack(self.dropout, self.dtype, name="time_stack")(
+            x, merge_scale=a, stats=rb_stats, return_stats=return_stats,
+            deterministic=deterministic)
 
 
 class AE3DConv(nn.Module):
@@ -179,13 +212,26 @@ class Combiner(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, stats=None):
         # x: (B,T,H,W,C); context: (B,2,H,W,C)
         ctx = nn.Dense(x.shape[-1], dtype=self.dtype, kernel_init=zeros_init,
                        name="conv")(context)
         first = x[:, :1] + ctx[:, :1]
         last = x[:, -1:] + ctx[:, 1:2]
-        return jnp.concatenate([first, x[:, 1:-1], last], axis=1)
+        out = jnp.concatenate([first, x[:, 1:-1], last], axis=1)
+        if stats is None:
+            return out
+        # chain the per-frame (B, T, C) sums: only frames 0 and -1
+        # change, and their fresh sums fuse into the adds above — the
+        # untouched 14 frames keep the producer's sums
+        s1, s2 = stats
+        f1 = jnp.sum(first, axis=(2, 3), dtype=jnp.float32)
+        f2 = jnp.sum(jnp.square(first.astype(jnp.float32)), axis=(2, 3))
+        l1 = jnp.sum(last, axis=(2, 3), dtype=jnp.float32)
+        l2 = jnp.sum(jnp.square(last.astype(jnp.float32)), axis=(2, 3))
+        s1 = jnp.concatenate([f1, s1[:, 1:-1], l1], axis=1)
+        s2 = jnp.concatenate([f2, s2[:, 1:-1], l2], axis=1)
+        return out, s1, s2
 
 
 class SpatialAttn(nn.Module):
@@ -341,43 +387,66 @@ class DualRefVideoDecoder(nn.Module):
         flat = nn.Conv(block_in, (3, 3), dtype=self.dtype, name="conv_in")(flat)
         h = flat.reshape((b, t) + flat.shape[1:])
 
-        h = VideoResBlock(dropout=self.dropout, temporal=time_res,
-                          dtype=self.dtype,
-                          name="mid_block_1")(h, deterministic=deterministic)
+        # Per-frame (B, T, C) output sums chain block-to-block through the
+        # conv epilogues (st): within a level no VideoResBlock takes a
+        # standalone GroupNorm stats pass over the 335-671 MB level
+        # tensors; the Combiner adjusts the two touched frames' sums
+        # in-place and the upsample conv re-seeds the chain. Attention
+        # injects (residual adds) reset it (st = None) — those sit at the
+        # small levels. Round-2 decode trace: ~100 ms/call of HBM-bound
+        # stat + elementwise passes, VERDICT r2 next #2.
+        st = None
+        h, *st = VideoResBlock(dropout=self.dropout, temporal=time_res,
+                               dtype=self.dtype, name="mid_block_1")(
+            h, return_stats=True, deterministic=deterministic)
         if time_attn:
             h = TimeAttnBlock(dtype=self.dtype, name="mid_attn_1")(
                 h, deterministic=deterministic)
         else:
             h = SpatialAttn(self.dtype, name="mid_attn_1")(h)
-        h = VideoResBlock(dropout=self.dropout, temporal=time_res,
-                          dtype=self.dtype,
-                          name="mid_block_2")(h, deterministic=deterministic)
+        h, *st = VideoResBlock(dropout=self.dropout, temporal=time_res,
+                               dtype=self.dtype, name="mid_block_2")(
+            h, return_stats=True, deterministic=deterministic)
 
         for i_level in reversed(range(len(self.ch_mult))):
             out_ch = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
-                h = VideoResBlock(
+                h, *st = VideoResBlock(
                     out_ch, dropout=self.dropout, temporal=time_res,
                     dtype=self.dtype,
                     name=f"up_{i_level}_block_{i_block}",
-                )(h, deterministic=deterministic)
+                )(h, stats=st or None, return_stats=True,
+                  deterministic=deterministic)
             if ref_context is not None:
                 if i_level in self.attn_level:
                     h = FusionCrossAttention(
                         dtype=self.dtype, name=f"inject_{i_level}",
                     )(h, ref_context[i_level])
+                    st = None
                 else:
-                    h = Combiner(self.dtype, name=f"inject_{i_level}")(
-                        h, ref_context[i_level])
+                    h, *st = Combiner(self.dtype, name=f"inject_{i_level}")(
+                        h, ref_context[i_level], stats=tuple(st))
             if i_level != 0:
                 flat, _, _ = _fold(h)
-                flat = Upsample(self.dtype, name=f"up_{i_level}_upsample")(flat)
+                flat, fs1, fs2 = Upsample(
+                    self.dtype, name=f"up_{i_level}_upsample")(
+                    flat, return_stats=True)
                 h = flat.reshape((b, t) + flat.shape[1:])
+                c_up = h.shape[-1]
+                st = (fs1.reshape(b, t, c_up), fs2.reshape(b, t, c_up))
 
         # per-frame norm_out: the reference's Decoder.forward normalizes the
-        # folded (B*T, C, H, W) view (autoencoder_dualref.py:518-519).
+        # folded (B*T, C, H, W) view (autoencoder_dualref.py:518-519). With
+        # the chained sums the norm is a pure elementwise apply.
         flat, _, _ = _fold(h)
-        flat = GroupNormAct(name="norm_out")(flat)
+        c_out = flat.shape[-1]
+        st_flat = None if not st else \
+            (st[0].reshape(b * t, c_out), st[1].reshape(b * t, c_out))
+        a_c, b_c = GroupNormAct(name="norm_out")(
+            flat, return_affine=True, stats=st_flat)
+        z = flat.astype(jnp.float32) * a_c[:, None, None, :] \
+            + b_c[:, None, None, :]
+        flat = (z * jax.nn.sigmoid(z)).astype(flat.dtype)
         h = flat.reshape((b, t) + flat.shape[1:])
         if ref_context is not None:
             h = Combiner(self.dtype, name="inject_out")(h, ref_context[-1])

@@ -91,7 +91,7 @@ def upsample_nearest_2x(x):
     return x
 
 
-def upsample2x_conv3x3(x, kernel, bias):
+def upsample2x_conv3x3(x, kernel, bias, return_stats: bool = False):
     """conv3x3_SAME(nearest_2x(x)) as ONE input-dilated conv.
 
     Nearest-2x is a stride-2 transposed conv with a 2x2 box kernel, and
@@ -113,7 +113,14 @@ def upsample2x_conv3x3(x, kernel, bias):
     y = jax.lax.conv_general_dilated(
         x, k4, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + bias.astype(y.dtype)
+    y = y + bias.astype(y.dtype)
+    if return_stats:
+        # inline per-sample (N, C) sums fuse into the conv epilogue —
+        # the consumer's GroupNorm costs no pass (ops/norms)
+        s1 = jnp.sum(y, axis=(1, 2), dtype=jnp.float32)
+        s2 = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=(1, 2))
+        return y, s1, s2
+    return y
 
 
 def center_crop_resize(x, out_h: int, out_w: int):

@@ -311,6 +311,10 @@ def _pallas_fused_conv(x, a, b, kernel, bias, res, silu: bool,
 _PROLOGUE_DTYPE = os.environ.get("TC_PROLOGUE_DTYPE", "ref")
 _PROLOGUE_BARRIER = bool(os.environ.get("TC_PROLOGUE_BARRIER"))
 _STATS_BARRIER = bool(os.environ.get("TC_STATS_BARRIER"))
+# A/B: square in bf16 (f32 accumulate) inside the stats epilogue — halves
+# the epilogue's convert work at a ~bf16-noise-floor cost to the variance
+# estimate. OFF: fp32-stat GroupNorm is a repo convention.
+_STATS_SQ_BF16 = bool(os.environ.get("TC_STATS_SQ_BF16"))
 
 
 def _apply_prologue(x, a, b, silu: bool):
@@ -354,7 +358,10 @@ def _xla_impl(x, a, b, kernel, bias, res, silu: bool, stats: bool):
         if _STATS_BARRIER:
             (ys,) = jax.lax.optimization_barrier((y,))
         s1 = jnp.sum(ys, axis=(1, 2), dtype=jnp.float32)
-        s2 = jnp.sum(jnp.square(ys.astype(jnp.float32)), axis=(1, 2))
+        if _STATS_SQ_BF16:
+            s2 = jnp.sum(jnp.square(ys), axis=(1, 2), dtype=jnp.float32)
+        else:
+            s2 = jnp.sum(jnp.square(ys.astype(jnp.float32)), axis=(1, 2))
         return y, s1, s2
     return y
 
@@ -419,7 +426,7 @@ class UpsampleConv2x(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_stats: bool = False):
         from tooncrafter_tpu.ops.resize import upsample2x_conv3x3
 
         cin = x.shape[-1]
@@ -428,7 +435,8 @@ class UpsampleConv2x(nn.Module):
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         return upsample2x_conv3x3(x, kernel.astype(self.dtype),
-                                  bias.astype(self.dtype))
+                                  bias.astype(self.dtype),
+                                  return_stats=return_stats)
 
 
 class SpatialConv3x3(nn.Module):
