@@ -70,3 +70,25 @@ def test_unet_batch_independence():
     y0 = unet.apply(params, x[:1], ts[:1], ctx[:1], fs[:1])
     np.testing.assert_allclose(np.asarray(y[:1]), np.asarray(y0),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_unet_cfg_groups_stem_sharing_identical():
+    """cfg_groups=n (sampling's CFG batching contract: identical x/ts/fs,
+    per-branch context) must reproduce the plain forward exactly — the
+    shared stem is a pure dedup, not an approximation."""
+    unet = UNetModel(**TINY)
+    x, ts, ctx, fs = _inputs(b=2)  # 2 clips
+    params = unet.init(jax.random.PRNGKey(0), x, ts, ctx, fs)
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.where(jnp.all(p == 0), jnp.ones_like(p) * 0.01, p),
+        params)
+    # build the CFG batch exactly like sampling/ddim.py: branches tiled
+    # over the batch axis, contexts differing per branch
+    ctx_uc = jnp.zeros_like(ctx)
+    xin = jnp.tile(x, (2, 1, 1, 1, 1))
+    tsin = jnp.tile(ts, (2,))
+    fsin = jnp.tile(fs, (2,))
+    ctxin = jnp.concatenate([ctx_uc, ctx], axis=0)
+    y_plain = unet.apply(params, xin, tsin, ctxin, fsin)
+    y_shared = unet.apply(params, xin, tsin, ctxin, fsin, cfg_groups=2)
+    np.testing.assert_array_equal(np.asarray(y_plain), np.asarray(y_shared))

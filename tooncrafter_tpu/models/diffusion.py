@@ -319,8 +319,11 @@ class ToonCrafter:
         ddim = S.build_ddim_schedule(self.schedule, ddim_steps, eta, spacing)
 
         def denoiser(x, ts, ctx, fs_):
+            # the sampler stacks CFG branches over identical x/ts/fs
+            # (ddim_sample tiles them); declare it so the UNet runs the
+            # context-free stem once per clip instead of per branch
             return self.unet.apply({"params": params["unet"]}, x, ts, ctx,
-                                   fs_)
+                                   fs_, cfg_groups=guidance.num_branches)
 
         return ddim_sample(denoiser, self.schedule, ddim, x_T, contexts,
                            concat, fs, rng, guidance, temperature)

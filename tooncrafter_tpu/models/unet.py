@@ -597,12 +597,33 @@ class UNetModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, timesteps, context, fs=None, *,
-                 deterministic: bool = True):
+                 cfg_groups: int = 1, deterministic: bool = True):
         """x: (B,T,H,W,C_in); timesteps,fs: (B,);
-        context: (B, text_len + T*img_tokens, context_dim)."""
+        context: (B, text_len + T*img_tokens, context_dim).
+
+        cfg_groups=n declares that the leading batch dim is n CFG guidance
+        branches stacked over B/n clips with IDENTICAL x/timesteps/fs
+        (only `context` differs — exactly how sampling/ddim.py batches
+        the branches). The context-free stem — input conv, init temporal
+        attention, and every block before the first cross-attending
+        SpatialTransformer — then runs once on B/n rows and is tiled
+        back to B, which is numerically identical (all stem ops are
+        batch-row independent) and saves the duplicated stem compute."""
         b, t, hh, ww, _ = x.shape
         mc = self.model_channels
         ted = mc * 4
+        g = cfg_groups
+        if g > 1:
+            assert b % g == 0, (b, g)
+        bs = b // g if g > 1 else b  # stem clip count
+        shared = [g > 1]  # mutated once the first context consumer runs
+
+        def widen(h):
+            """Tile the stem result back to the full CFG batch."""
+            if shared[0]:
+                h = jnp.tile(h, (g,) + (1,) * (h.ndim - 1))
+                shared[0] = False
+            return h
 
         # ---- time + fps embedding, broadcast per frame ----
         t_emb = timestep_embedding(timesteps, mc).astype(self.dtype)
@@ -634,13 +655,18 @@ class UNetModel(nn.Module):
         ctx = ctx.astype(self.dtype)
 
         h = x.reshape(b * t, hh, ww, x.shape[-1]).astype(self.dtype)
+        if g > 1:
+            # branch 0's clips are the first bs rows; every branch's
+            # x/emb rows are identical by the cfg_groups contract
+            h = h[:bs * t]
 
         def res(idx_name, ch, h):
             cls = (nn.remat(UNetResBlock, static_argnums=(3, 4))
                    if self.use_checkpoint else UNetResBlock)
+            e = emb[:bs * t] if shared[0] else emb
             return cls(ch, self.dropout, use_temporal_conv=True,
                        dtype=self.dtype, name=idx_name)(
-                h, emb, t, deterministic)
+                h, e, t, deterministic)
 
         def spatial(idx_name, ch, h):
             heads = ch // self.num_head_channels
@@ -650,11 +676,13 @@ class UNetModel(nn.Module):
                 heads, self.num_head_channels, self.transformer_depth,
                 image_branch=self.image_cross_attention,
                 ip_scale_learnable=self.image_cross_attention_scale_learnable,
-                dtype=self.dtype, name=idx_name)(h, ctx, deterministic)
+                dtype=self.dtype, name=idx_name)(widen(h), ctx,
+                                                 deterministic)
 
         def temporal(idx_name, ch, h, heads=None):
             heads = heads or ch // self.num_head_channels
-            h5 = h.reshape((b, t) + h.shape[1:])
+            nb = bs if shared[0] else b
+            h5 = h.reshape((nb, t) + h.shape[1:])
             cls = (nn.remat(TemporalTransformer, static_argnums=(2,))
                    if self.use_checkpoint else TemporalTransformer)
             h5 = cls(
@@ -669,7 +697,7 @@ class UNetModel(nn.Module):
         h = nn.Conv(mc, (3, 3), dtype=self.dtype, name="input_conv")(h)
         if self.addition_attention:
             h = temporal("init_attn", mc, h, heads=8)
-        hs.append(h)
+        hs.append(jnp.tile(h, (g, 1, 1, 1)) if shared[0] else h)
         ch = mc
         ds = 1
         for level, mult in enumerate(self.channel_mult):
@@ -679,13 +707,14 @@ class UNetModel(nn.Module):
                 if ds in self.attention_resolutions:
                     h = spatial(f"in_{level}_{i}_spatial", ch, h)
                     h = temporal(f"in_{level}_{i}_temporal", ch, h)
-                hs.append(h)
+                hs.append(jnp.tile(h, (g, 1, 1, 1)) if shared[0] else h)
             if level != len(self.channel_mult) - 1:
                 h = Downsample(self.dtype, name=f"down_{level}")(h)
                 ds *= 2
-                hs.append(h)
+                hs.append(jnp.tile(h, (g, 1, 1, 1)) if shared[0] else h)
 
         # ---- middle ----
+        h = widen(h)  # no-op unless the config has no spatial attention
         h = res("mid_res_0", ch, h)
         h = spatial("mid_spatial", ch, h)
         h = temporal("mid_temporal", ch, h)
