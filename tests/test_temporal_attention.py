@@ -75,6 +75,64 @@ def test_temporal_transformer_fast_path_matches_einsum():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_fused_block_kernel_matches_module_chain():
+    """fused LN+QKV+attn+out+residual kernel vs the explicit chain."""
+    from tooncrafter_tpu.ops import norms
+
+    b, p, t, c = 1, 128, 16, 128
+    heads, d = 2, 64
+    inner = heads * d
+    ks = jax.random.split(jax.random.PRNGKey(3), 8)
+    x = jax.random.normal(ks[0], (b, p, t, c), jnp.float32)
+    lnw = jax.random.normal(ks[1], (c,), jnp.float32) * 0.1 + 1.0
+    lnb = jax.random.normal(ks[2], (c,), jnp.float32) * 0.1
+    wq = jax.random.normal(ks[3], (c, inner), jnp.float32) * c ** -0.5
+    wk = jax.random.normal(ks[4], (c, inner), jnp.float32) * c ** -0.5
+    wv = jax.random.normal(ks[5], (c, inner), jnp.float32) * c ** -0.5
+    wo = jax.random.normal(ks[6], (inner, c), jnp.float32) * inner ** -0.5
+    bo = jax.random.normal(ks[7], (c,), jnp.float32) * 0.1
+
+    z = norms.layer_norm(x, lnw, lnb)
+    ref = x + (jnp.dot(_ref(jnp.dot(z, wq), jnp.dot(z, wk),
+                            jnp.dot(z, wv), heads, d ** -0.5), wo) + bo)
+    old = ta._INTERPRET
+    ta._INTERPRET = True
+    try:
+        assert ta.use_fused_kernel(t, p, d, c, inner)
+        got = ta.fused_temporal_attn(x, (lnw, lnb), wq, wk, wv, wo, bo,
+                                     heads=heads, scale=d ** -0.5)
+    finally:
+        ta._INTERPRET = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_fused_block_gradients_match_xla():
+    from tooncrafter_tpu.ops import temporal_attention as ta2
+
+    b, p, t, c = 1, 128, 4, 64
+    heads, d = 1, 64
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(b, p, t, c)), jnp.float32)
+    lnw = jnp.ones((c,)); lnb = jnp.zeros((c,))
+    w = jnp.asarray(rng.normal(size=(c, c)) * c ** -0.5, jnp.float32)
+    bo = jnp.zeros((c,))
+    ta2._INTERPRET = True
+    try:
+        f = lambda v: jnp.sum(ta2.fused_temporal_attn(
+            v, (lnw, lnb), w, w, w, w, bo, heads=heads,
+            scale=d ** -0.5) ** 2)
+        r = lambda v: jnp.sum(ta2._xla_fused_tattn(
+            v, lnw, lnb, jnp.concatenate([w, w, w], axis=1), w, bo,
+            heads, d ** -0.5, 1e-5) ** 2)
+        got = jax.grad(f)(x)
+        ref = jax.grad(r)(x)
+    finally:
+        ta2._INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+
+
 def test_kernel_gradients_match_xla():
     # jax.grad must survive the Pallas forward (custom_vjp recompute);
     # before the vjp existed, an on-TPU training step died here

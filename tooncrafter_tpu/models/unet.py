@@ -303,12 +303,42 @@ class CrossAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, mask=None, *,
+    def __call__(self, x, context=None, mask=None, *, ln=None,
                  deterministic: bool = True):
         inner = self.heads * self.dim_head
         self_attn = context is None
         ctx = x if self_attn else context
         out_dim = x.shape[-1]
+
+        if ln is not None:
+            # temporal fused sub-block: the preceding LayerNorm's params
+            # are passed in and the WHOLE  ln -> qkv -> T-attention ->
+            # to_out -> +residual  chain runs in one Pallas kernel
+            # (ops/temporal_attention.fused_temporal_attn) — the three
+            # QKV dots' retiling copies, the standalone norm pass and the
+            # residual add all disappear. Returns x + attn(ln(x)).
+            assert self_attn and x.ndim == 4 and mask is None \
+                and not self.relative_position \
+                and (deterministic or self.dropout == 0.0)
+            from tooncrafter_tpu.ops import norms
+            from tooncrafter_tpu.ops import temporal_attention as ta
+            b, p, t, c = x.shape
+            wq = _DenseParamsNB(inner, name="to_q")(c)
+            wk = _DenseParamsNB(inner, name="to_k")(c)
+            wv = _DenseParamsNB(inner, name="to_v")(c)
+            wo, bo = _DenseParams(out_dim, name="to_out")(inner)
+            scale = self.dim_head ** -0.5
+            if ta.use_fused_kernel(t, p, self.dim_head, c, inner):
+                return ta.fused_temporal_attn(
+                    x, ln, wq, wk, wv, wo, bo, heads=self.heads,
+                    scale=scale)
+            # unfused fallback — the exact module chain the kernel fuses
+            z = norms.layer_norm(x, ln[0], ln[1])
+            dt = self.dtype
+            out = ta.temporal_attention_ptc(
+                jnp.dot(z, wq.astype(dt)), jnp.dot(z, wk.astype(dt)),
+                jnp.dot(z, wv.astype(dt)), heads=self.heads, scale=scale)
+            return x + (jnp.dot(out, wo.astype(dt)) + bo.astype(dt))
 
         if self_attn and x.ndim == 3 and mask is None:
             # spatial self-attention (SpatialTransformer attn1): packed
@@ -443,24 +473,49 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context=None, mask=None, *,
                  deterministic: bool = True):
-        x = CrossAttention(self.heads, self.dim_head, dropout=self.dropout,
-                           relative_position=self.relative_position,
-                           temporal_length=self.temporal_length,
-                           dtype=self.dtype, name="attn1")(
-            LayerNorm(name="norm1")(x), None, mask,
-            deterministic=deterministic) + x
+        # temporal fast layout: hand the LayerNorm params INTO the
+        # attention so the whole norm+attn+out+residual sub-block fuses
+        # (ops/temporal_attention.fused_temporal_attn); the attention
+        # call then returns x + attn(ln(x)) itself.
+        fuse_t = (x.ndim == 4 and mask is None
+                  and not self.relative_position
+                  and (deterministic or self.dropout == 0.0))
+        if fuse_t:
+            ln1 = _LNParams(name="norm1")(x.shape[-1])
+            x = CrossAttention(self.heads, self.dim_head,
+                               dropout=self.dropout,
+                               temporal_length=self.temporal_length,
+                               dtype=self.dtype, name="attn1")(
+                x, None, None, ln=ln1, deterministic=deterministic)
+        else:
+            x = CrossAttention(self.heads, self.dim_head,
+                               dropout=self.dropout,
+                               relative_position=self.relative_position,
+                               temporal_length=self.temporal_length,
+                               dtype=self.dtype, name="attn1")(
+                LayerNorm(name="norm1")(x), None, mask,
+                deterministic=deterministic) + x
         # attn2: cross-attn when context given; self-attn otherwise
         # (temporal blocks run with context=None -> self)
-        x = CrossAttention(self.heads, self.dim_head,
-                           image_branch=self.image_branch,
-                           ip_scale_learnable=self.ip_scale_learnable,
-                           relative_position=self.relative_position,
-                           temporal_length=self.temporal_length,
-                           dropout=self.dropout, dtype=self.dtype,
-                           name="attn2")(
-            LayerNorm(name="norm2")(x),
-            context if self.cross else None, mask,
-            deterministic=deterministic) + x
+        if fuse_t and not (self.cross and context is not None):
+            ln2 = _LNParams(name="norm2")(x.shape[-1])
+            x = CrossAttention(self.heads, self.dim_head,
+                               ip_scale_learnable=self.ip_scale_learnable,
+                               temporal_length=self.temporal_length,
+                               dropout=self.dropout, dtype=self.dtype,
+                               name="attn2")(
+                x, None, None, ln=ln2, deterministic=deterministic)
+        else:
+            x = CrossAttention(self.heads, self.dim_head,
+                               image_branch=self.image_branch,
+                               ip_scale_learnable=self.ip_scale_learnable,
+                               relative_position=self.relative_position,
+                               temporal_length=self.temporal_length,
+                               dropout=self.dropout, dtype=self.dtype,
+                               name="attn2")(
+                LayerNorm(name="norm2")(x),
+                context if self.cross else None, mask,
+                deterministic=deterministic) + x
         ln3 = _LNParams(name="norm3")(x.shape[-1])
         x = FeedForward(dropout=self.dropout, dtype=self.dtype, name="ff")(
             x, ln=ln3, deterministic=deterministic) + x

@@ -151,3 +151,181 @@ def temporal_attention_ptc(q, k, v, *, heads: int, scale: float):
     """Per-pixel attention over T, (B, P, T, heads*d) in/out; Pallas
     kernel forward (coverage per `use_kernel`), XLA-recompute backward."""
     return _ptc(q, k, v, heads, scale)
+
+
+# ---------------------------------------------------------------------------
+# Fused temporal-attention BLOCK kernel: LayerNorm -> packed QKV GEMM ->
+# per-pixel T-attention -> out-projection -> +residual, one HBM round trip.
+#
+# Motivation (round-3 in-loop trace, tools/profile_denoise.py): the unfused
+# arrangement spends ~12 ms/forward around the temporal attention cores —
+# three separate QKV dots each followed by a ~0.9 ms retiling copy into the
+# _ptc kernel's layout, the standalone LayerNorm passes, the to_out dot's
+# layout copy, and the residual-add pass. All of it is traffic over the same
+# (B, P, T, C) activation this kernel now keeps resident in VMEM.
+#
+# Rebuilds the attn1/attn2 sub-blocks of the reference TemporalTransformer
+# (`lvdm/modules/attention.py:236-247` BasicTransformerBlock norm+attn,
+# self-attention instance) with identical rounding: LN stats in f32
+# (ops/norms.layer_norm), bf16 GEMM outputs, f32 softmax.
+# ---------------------------------------------------------------------------
+
+
+def _fused_vmem(pt: int, t: int, c: int, inner: int) -> int:
+    tok = pt * t
+    io = 4 * tok * c * 2                     # x in + out, double-buffered
+    w = (c * 3 * inner + inner * c) * 2      # wqkv + wout, bf16, resident
+    z = tok * c * 2                          # normalized tile
+    qkv = tok * 3 * inner * 2                # packed projections
+    o = tok * inner * 2                      # attention output
+    acc = tok * c * 4                        # out-GEMM f32 accumulator
+    logits = pt * t * t * 4 * 2              # per-head logits + probs
+    return io + w + z + qkv + o + acc + logits
+
+
+def _pick_ptile_fused(p: int, t: int, c: int, inner: int,
+                      budget: int = 64 * 1024 * 1024) -> int:
+    for blk in (512, 256, 160, 128, 80, 64, 32, 16, 8):
+        if p % blk == 0 and _fused_vmem(blk, t, c, inner) <= budget:
+            return blk
+    return 0
+
+
+def use_fused_kernel(t: int, p: int, d: int, c: int, inner: int) -> bool:
+    """Coverage for the fused LN+QKV+attention+out block kernel: the plain
+    self-attention shapes of `use_kernel`, plus lane-friendly widths for
+    the in-kernel GEMMs."""
+    return (t <= 32 and d in (64, 128) and p >= 128
+            and c % 64 == 0 and inner % 64 == 0
+            and _pick_ptile_fused(p, t, c, inner) >= 64
+            and (_on_tpu() or _INTERPRET))
+
+
+def _xla_fused_tattn(x, lnw, lnb, wqkv, wout, bout, heads: int,
+                     scale: float, eps: float):
+    """Differentiable XLA form — exactly the unfused module arrangement:
+    layer_norm -> three Dense(no-bias) projections -> per-pixel attention
+    -> Dense out-projection -> residual add."""
+    from tooncrafter_tpu.ops import norms
+
+    cdt = x.dtype
+    inner = wout.shape[0]
+    z = norms.layer_norm(x, lnw, lnb, eps)
+    qkv = jnp.dot(z, wqkv.astype(cdt))
+    q = qkv[..., :inner]
+    k = qkv[..., inner:2 * inner]
+    v = qkv[..., 2 * inner:]
+    o = _xla_ptc(q, k, v, heads, scale)
+    y = jnp.dot(o, wout.astype(cdt)) + bout.astype(cdt)
+    return x + y
+
+
+def _fused_tattn_call(x, lnw, lnb, wqkv, wout, bout, heads: int,
+                      scale: float, eps: float):
+    """x: (B, P, T, C) bf16; lnw/lnb: (C,) f32; wqkv: (C, 3*inner);
+    wout: (inner, C); bout: (C,). Returns x + attn_block(x)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, p, t, c = x.shape
+    inner = wout.shape[0]
+    d = inner // heads
+    pt = _pick_ptile_fused(p, t, c, inner)
+    cdt = x.dtype
+
+    def kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, wout_ref, bout_ref,
+               o_ref):
+        xb = x_ref[0]                                  # (pt, T, C)
+        xf = xb.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        mean_sq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        z = (xf - mean) * jax.lax.rsqrt(var + eps)
+        z = z * lnw_ref[0].astype(jnp.float32) \
+            + lnb_ref[0].astype(jnp.float32)
+        z2 = z.astype(cdt).reshape(pt * t, c)
+        qkv = jax.lax.dot_general(
+            z2, wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cdt)
+        outs = []
+        for h in range(heads):
+            qb = qkv[:, h * d:(h + 1) * d].reshape(pt, t, d)
+            kb = qkv[:, inner + h * d:inner + (h + 1) * d] \
+                .reshape(pt, t, d)
+            vb = qkv[:, 2 * inner + h * d:2 * inner + (h + 1) * d] \
+                .reshape(pt, t, d)
+            logits = jax.lax.dot_general(
+                qb, kb, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
+            outs.append(jax.lax.dot_general(
+                probs, vb, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(cdt))
+        o = jnp.concatenate(outs, axis=-1).reshape(pt * t, inner)
+        y = jax.lax.dot_general(
+            o, wout_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cdt) \
+            + bout_ref[0]
+        o_ref[0] = xb + y.reshape(pt, t, c)
+
+    spec = pl.BlockSpec((1, pt, t, c), lambda bi, pi: (bi, pi, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, p // pt),
+        in_specs=[
+            spec,
+            pl.BlockSpec((1, c), lambda bi, pi: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, pi: (0, 0)),
+            pl.BlockSpec((c, 3 * inner), lambda bi, pi: (0, 0)),
+            pl.BlockSpec((inner, c), lambda bi, pi: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, pi: (0, 0)),
+        ],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, p, t, c), cdt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(x, lnw.reshape(1, c), lnb.reshape(1, c), wqkv,
+      wout, bout.reshape(1, c))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _fused_tattn(x, lnw, lnb, wqkv, wout, bout, heads, scale, eps):
+    return _fused_tattn_call(x, lnw, lnb, wqkv, wout, bout,
+                             heads=heads, scale=scale, eps=eps)
+
+
+def _fused_tattn_fwd(x, lnw, lnb, wqkv, wout, bout, heads, scale, eps):
+    return _fused_tattn(x, lnw, lnb, wqkv, wout, bout, heads, scale,
+                        eps), (x, lnw, lnb, wqkv, wout, bout)
+
+
+def _fused_tattn_bwd(heads, scale, eps, res, g):
+    x, lnw, lnb, wqkv, wout, bout = res
+    _, vjp = jax.vjp(
+        lambda *a: _xla_fused_tattn(*a, heads=heads, scale=scale, eps=eps),
+        x, lnw, lnb, wqkv, wout, bout)
+    return vjp(g)
+
+
+_fused_tattn.defvjp(_fused_tattn_fwd, _fused_tattn_bwd)
+
+
+def fused_temporal_attn(x, ln, wq, wk, wv, wout, bout, *, heads: int,
+                        scale: float, eps: float = 1e-5):
+    """One-kernel temporal attention sub-block on (B, P, T, C):
+
+        x + to_out(ptc_attention(to_q(ln(x)), to_k(ln(x)), to_v(ln(x))))
+
+    `ln` is the (weight, bias) pair of the preceding LayerNorm; wq/wk/wv
+    are the nn.Dense(no-bias) kernels, wout/bout the out-projection.
+    Numerically matches the unfused module chain at fp32-stat tolerance;
+    Pallas forward (coverage per `use_fused_kernel`), XLA-recompute
+    backward."""
+    cdt = x.dtype
+    wqkv = jnp.concatenate([wq, wk, wv], axis=1).astype(cdt)
+    return _fused_tattn(x, ln[0], ln[1], wqkv, wout.astype(cdt),
+                        bout.astype(cdt), heads, scale, eps)
