@@ -27,6 +27,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=6)
     p.add_argument("--logdir", default="/tmp/denoise_profile")
+    p.add_argument("--hlo", default=None,
+                   help="dump the optimized loop HLO text here")
     args = p.parse_args()
 
     from tooncrafter_tpu.models.diffusion import ModelConfig, ToonCrafter
@@ -53,6 +55,11 @@ def main():
     a = (params, x_T, contexts, concat, fs, rng)
 
     t0 = time.time()
+    if args.hlo:
+        compiled = denoise.lower(*a).compile()
+        with open(args.hlo, "w") as f:
+            f.write(compiled.as_text())
+        print(f"[{time.time()-t0:.0f}s] HLO -> {args.hlo}", flush=True)
     out = denoise(*a)
     print(f"[{time.time()-t0:.0f}s] compiled; first run "
           f"{float(jnp.mean(out)):.4f}", flush=True)

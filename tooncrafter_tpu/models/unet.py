@@ -253,14 +253,18 @@ class FeedForward(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, ln=None, deterministic: bool = True):
+    def __call__(self, x, *, ln=None, residual: bool = False,
+                 deterministic: bool = True):
         """`ln`: optional (weight, bias) of the preceding LayerNorm
         (norm3, eps=1e-5) — folded into the fused kernel's prologue so
-        the normalized activation never round-trips HBM."""
+        the normalized activation never round-trips HBM. residual=True
+        returns ff(ln(x)) + x, with the add folded into the kernel
+        epilogue on the fused path."""
         from tooncrafter_tpu.ops import fused_ff
 
         dim = x.shape[-1]
         inner = dim * self.mult
+        assert not residual or ln is not None
         # Fused Pallas path: [LN] + GEGLU proj + gate + out-GEMM in
         # VMEM, no HBM round-trip for the 2*inner-wide intermediate
         # (the single largest traffic source in the UNet — see
@@ -274,12 +278,14 @@ class FeedForward(nn.Module):
             return fused_ff.fused_geglu_ff(
                 x, w1.astype(self.dtype), b1.astype(self.dtype),
                 w2.astype(self.dtype), b2.astype(self.dtype),
-                ln_w=lnw, ln_b=lnb)
+                ln_w=lnw, ln_b=lnb, residual=residual)
+        x_in = x
         if ln is not None:
             x = norms.layer_norm(x, ln[0], ln[1])
         h = GEGLU(inner, self.dtype, name="geglu")(x)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return _dense2d(nn.Dense(dim, dtype=self.dtype, name="out"), h)
+        y = _dense2d(nn.Dense(dim, dtype=self.dtype, name="out"), h)
+        return y + x_in if residual else y
 
 
 class CrossAttention(nn.Module):
@@ -518,7 +524,7 @@ class BasicTransformerBlock(nn.Module):
                 deterministic=deterministic) + x
         ln3 = _LNParams(name="norm3")(x.shape[-1])
         x = FeedForward(dropout=self.dropout, dtype=self.dtype, name="ff")(
-            x, ln=ln3, deterministic=deterministic) + x
+            x, ln=ln3, residual=True, deterministic=deterministic)
         return x
 
 
@@ -576,8 +582,14 @@ class TemporalTransformer(nn.Module):
 
         b, t, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
+        # blocks run at width `inner` (after proj_in), so the fused
+        # sub-block kernel sees c == inner
+        fused_ok = (ta.use_fused_kernel(t, hh * ww, self.dim_head,
+                                        inner, inner)
+                    and self.dropout == 0.0)
         fast = (not self.causal and not self.relative_position
-                and ta.use_kernel(t, hh * ww, self.dim_head, inner=inner))
+                and (ta.use_kernel(t, hh * ww, self.dim_head, inner=inner)
+                     or fused_ok))
         h = GroupNormAct(eps=1e-6, act=False, name="norm")(x)
         if fast:
             # barriers keep the layout transpose a standalone bandwidth

@@ -160,10 +160,13 @@ def _ln_tile(xt, lnw_ref, lnb_ref, eps):
     return out.astype(xt.dtype)
 
 
-def _pallas_ff(x2, w1, b1, w2, b2, lnw, lnb, eps):
+def _pallas_ff(x2, w1, b1, w2, b2, lnw, lnb, eps, residual=False):
     """x2: (N, C); w1: (C, 2D) = [h | gate] halves; b1: (1, 2D);
     w2: (D, Cout); b2: (1, Cout); lnw/lnb: (1, C) f32 LayerNorm affine
-    (pass None to skip the LN prologue). Returns (N, Cout)."""
+    (pass None to skip the LN prologue). Returns (N, Cout).
+    residual=True (requires the LN prologue and Cout==C) adds the raw
+    input tile to the output — the transformer block's `ff(ln(x)) + x`
+    in one kernel, saving the standalone add pass."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -174,10 +177,11 @@ def _pallas_ff(x2, w1, b1, w2, b2, lnw, lnb, eps):
     n_chunks = d // dk
     cdt = x2.dtype
     has_ln = lnw is not None
+    assert not residual or (has_ln and cout == c)
 
     def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest):
         o_ref = rest[-1]
-        xt = x_ref[...]
+        xt = xr = x_ref[...]
         if has_ln:
             xt = _ln_tile(xt, rest[0], rest[1], eps)
         acc = jnp.zeros((tn, cout), jnp.float32)
@@ -197,7 +201,8 @@ def _pallas_ff(x2, w1, b1, w2, b2, lnw, lnb, eps):
             acc = acc + jax.lax.dot_general(
                 m, w2_ref[lo:hi, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        o_ref[...] = acc.astype(cdt) + b2_ref[0]
+        y = acc.astype(cdt) + b2_ref[0]
+        o_ref[...] = y + xr if residual else y
 
     in_specs = [
         pl.BlockSpec((tn, c), lambda i: (i, 0)),
@@ -224,7 +229,8 @@ def _pallas_ff(x2, w1, b1, w2, b2, lnw, lnb, eps):
     )(*args)
 
 
-def _pallas_ff_streamed(x2, w1, b1, w2, b2, lnw, lnb, eps):
+def _pallas_ff_streamed(x2, w1, b1, w2, b2, lnw, lnb, eps,
+                        residual=False):
     """Streamed-weights variant for widths whose weights exceed VMEM
     (ds4, C=1280, |w| = 39 MB): 2-D grid over (token tiles, inner
     chunks). w1's h-half and gate-half are the same array bound twice
@@ -239,6 +245,7 @@ def _pallas_ff_streamed(x2, w1, b1, w2, b2, lnw, lnb, eps):
     n_chunks = d // dk
     cdt = x2.dtype
     has_ln = lnw is not None
+    assert not residual or (has_ln and cout == c)
 
     def kernel(x_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref, w2_ref, b2_ref,
                *rest):
@@ -267,7 +274,8 @@ def _pallas_ff_streamed(x2, w1, b1, w2, b2, lnw, lnb, eps):
 
         @pl.when(j == n_chunks - 1)
         def _():
-            o_ref[...] = acc_ref[:].astype(cdt) + b2_ref[0]
+            y = acc_ref[:].astype(cdt) + b2_ref[0]
+            o_ref[...] = y + x_ref[...] if residual else y
 
     nck = n_chunks  # closure-stable for index maps
     in_specs = [
@@ -320,7 +328,7 @@ def _xla_ln(x, lnw, lnb, eps):
     return out.astype(x.dtype)
 
 
-def _dispatch_ff(x, w1, b1, w2, b2, lnw, lnb, eps):
+def _dispatch_ff(x, w1, b1, w2, b2, lnw, lnb, eps, residual=False):
     c = x.shape[-1]
     n = x.size // c
     d = w2.shape[0]
@@ -328,11 +336,12 @@ def _dispatch_ff(x, w1, b1, w2, b2, lnw, lnb, eps):
         else None
     if mode is not None:
         fn = _pallas_ff if mode == "resident" else _pallas_ff_streamed
-        y2 = fn(x.reshape(n, c), w1, b1, w2, b2, lnw, lnb, eps)
+        y2 = fn(x.reshape(n, c), w1, b1, w2, b2, lnw, lnb, eps,
+                residual=residual)
         return y2.reshape(x.shape[:-1] + (w2.shape[1],))
-    if lnw is not None:
-        x = _xla_ln(x, lnw, lnb, eps)
-    return _xla_ff(x, w1, b1, w2, b2)
+    z = _xla_ln(x, lnw, lnb, eps) if lnw is not None else x
+    y = _xla_ff(z, w1, b1, w2, b2)
+    return y + x if residual else y
 
 
 @jax.custom_vjp
@@ -353,22 +362,25 @@ def _ff_bwd(saved, gy):
 _ff.defvjp(_ff_fwd, _ff_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _ff_ln(x, w1, b1, w2, b2, lnw, lnb, eps):
-    return _dispatch_ff(x, w1, b1, w2, b2, lnw, lnb, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _ff_ln(x, w1, b1, w2, b2, lnw, lnb, eps, residual):
+    return _dispatch_ff(x, w1, b1, w2, b2, lnw, lnb, eps,
+                        residual=residual)
 
 
-def _ff_ln_fwd(x, w1, b1, w2, b2, lnw, lnb, eps):
-    return (_ff_ln(x, w1, b1, w2, b2, lnw, lnb, eps),
+def _ff_ln_fwd(x, w1, b1, w2, b2, lnw, lnb, eps, residual):
+    return (_ff_ln(x, w1, b1, w2, b2, lnw, lnb, eps, residual),
             (x, w1, b1, w2, b2, lnw, lnb))
 
 
-def _ff_ln_bwd(eps, saved, gy):
+def _ff_ln_bwd(eps, residual, saved, gy):
     x, w1, b1, w2, b2, lnw, lnb = saved
-    _, vjp = jax.vjp(
-        lambda x_, w1_, b1_, w2_, b2_, lnw_, lnb_: _xla_ff(
-            _xla_ln(x_, lnw_, lnb_, eps), w1_, b1_, w2_, b2_),
-        x, w1, b1, w2, b2, lnw, lnb)
+
+    def ref(x_, w1_, b1_, w2_, b2_, lnw_, lnb_):
+        y = _xla_ff(_xla_ln(x_, lnw_, lnb_, eps), w1_, b1_, w2_, b2_)
+        return y + x_ if residual else y
+
+    _, vjp = jax.vjp(ref, x, w1, b1, w2, b2, lnw, lnb)
     return vjp(gy)
 
 
@@ -376,17 +388,20 @@ _ff_ln.defvjp(_ff_ln_fwd, _ff_ln_bwd)
 
 
 def fused_geglu_ff(x, w1, b1, w2, b2, ln_w=None, ln_b=None,
-                   ln_eps: float = 1e-5):
+                   ln_eps: float = 1e-5, residual: bool = False):
     """y = (h * gelu(g)) @ w2 + b2 with [h | g] = LN?(x) @ w1 + b1.
 
     x: (..., C); w1: (C, 2D); b1: (2D,); w2: (D, C'); b2: (C',).
     When ln_w/ln_b (C,) are given, a LayerNorm prologue (eps=ln_eps,
     semantics of ops/norms.LayerNorm) is folded into the kernel.
-    Dispatches to a Pallas kernel on TPU when the shape fits
-    (`use_kernel`) — resident weights for C<=640, streamed weight
-    chunks at C=1280; falls back to the XLA form otherwise.
+    residual=True (LN prologue + C'==C only) additionally adds x to the
+    output — the transformer block's `ff(ln(x)) + x` without the
+    standalone add pass. Dispatches to a Pallas kernel on TPU when the
+    shape fits (`use_kernel`) — resident weights for C<=640, streamed
+    weight chunks at C=1280; falls back to the XLA form otherwise.
     """
     if ln_w is None:
+        assert not residual
         return _ff(x, w1, b1[None], w2, b2[None])
     return _ff_ln(x, w1, b1[None], w2, b2[None], ln_w[None], ln_b[None],
-                  ln_eps)
+                  ln_eps, residual)

@@ -185,7 +185,7 @@ def _fused_vmem(pt: int, t: int, c: int, inner: int) -> int:
 
 def _pick_ptile_fused(p: int, t: int, c: int, inner: int,
                       budget: int = 64 * 1024 * 1024) -> int:
-    for blk in (512, 256, 160, 128, 80, 64, 32, 16, 8):
+    for blk in (512, 256, 160, 128, 80, 64, 40, 32, 16, 8):
         if p % blk == 0 and _fused_vmem(blk, t, c, inner) <= budget:
             return blk
     return 0
@@ -194,10 +194,13 @@ def _pick_ptile_fused(p: int, t: int, c: int, inner: int,
 def use_fused_kernel(t: int, p: int, d: int, c: int, inner: int) -> bool:
     """Coverage for the fused LN+QKV+attention+out block kernel: the plain
     self-attention shapes of `use_kernel`, plus lane-friendly widths for
-    the in-kernel GEMMs."""
-    return (t <= 32 and d in (64, 128) and p >= 128
+    the in-kernel GEMMs. Unlike `use_kernel`, small pixel counts are in
+    coverage (the UNet mid block, P=40: the 5-D einsum fallback lowers
+    its (B,H,W,heads,T,T) softmax pathologically — ~6 ms/step in the
+    round-3 in-loop trace for 40 pixels)."""
+    return (t <= 32 and d in (64, 128) and p >= 32
             and c % 64 == 0 and inner % 64 == 0
-            and _pick_ptile_fused(p, t, c, inner) >= 64
+            and _pick_ptile_fused(p, t, c, inner) >= 32
             and (_on_tpu() or _INTERPRET))
 
 
