@@ -67,3 +67,30 @@ def test_gradients_match_xla():
     for a, b in zip(g, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_short_context_pad_is_exact():
+    """attention() lane-pads Sk<160 contexts (the UNet's 77-token text
+    slice); padded keys get probability 0, so the result matches the
+    unpadded form to f32 summation-order noise."""
+    from tooncrafter_tpu.ops.attention import (attention,
+                                               dot_product_attention)
+
+    b, sq, sk, heads, d = 2, 64, 77, 4, 32
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (b, sq, heads * d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, sk, heads * d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, sk, heads * d), jnp.float32)
+    ref = dot_product_attention(q.reshape(b, sq, heads, d),
+                                k.reshape(b, sk, heads, d),
+                                v.reshape(b, sk, heads, d)
+                                ).reshape(b, sq, heads * d)
+    from tooncrafter_tpu.ops import attention as A
+    old = A._PAD_SHORT_KV
+    A._PAD_SHORT_KV = True
+    try:
+        got = attention(q, k, v, heads=heads)
+    finally:
+        A._PAD_SHORT_KV = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-6, rtol=0)

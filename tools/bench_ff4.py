@@ -11,6 +11,9 @@ Usage: python tools/bench_ff4.py [--out /root/repo/.audit_r03.jsonl]
 """
 import argparse
 import json
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

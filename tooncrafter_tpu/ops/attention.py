@@ -14,10 +14,15 @@ XLA path below is the reference semantics and the fallback.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# read once at import (flipping after a trace has no effect — see
+# ops/spatial_conv.py)
+_PAD_SHORT_KV = bool(os.environ.get("TC_PAD_SHORT_KV"))
 
 
 def dot_product_attention(
@@ -55,10 +60,26 @@ def attention(q, k, v, *, heads: int, bias=None, mask=None, scale=None,
     model code uses.
     """
     b, sq, inner = q.shape
+    sk = k.shape[1]
     d = inner // heads
+    if _PAD_SHORT_KV and bias is None and mask is None \
+            and sk < 160 and sk % 128:
+        # DEAD END kept behind TC_PAD_SHORT_KV for the record: lane-
+        # aligning the 77-token text context (zero K/V rows + finfo.min
+        # logit bias — padded keys get exactly probability 0, the rest
+        # differs only by f32 summation order) measured 3.2 ms/step
+        # SLOWER in the round-3 loop: the f32 logits grow 77->128 and
+        # the bias add breaks XLA's fused softmax pattern
+        # (.audit_r03.jsonl denoise6 203.5 vs 200.3 ms/step).
+        pad = 128 - sk % 128
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+        bias = jnp.full((1, 1, 1, sk + pad), 0.0, jnp.float32)
+        bias = bias.at[..., sk:].set(jnp.finfo(jnp.float32).min)
+        sk += pad
     qh = q.reshape(b, sq, heads, d)
-    kh = k.reshape(b, k.shape[1], heads, d)
-    vh = v.reshape(b, v.shape[1], heads, d)
+    kh = k.reshape(b, sk, heads, d)
+    vh = v.reshape(b, sk, heads, d)
     if use_flash and bias is None and mask is None:
         from tooncrafter_tpu.ops import flash_attention as fa
         out = fa.flash_attention(qh, kh, vh, scale=scale)

@@ -67,11 +67,16 @@ def _vmem_estimate(tn: int, c: int, d: int, dk: int) -> int:
 
 
 def _pick_tile(n: int, c: int, d: int,
-               budget: int = 13 * 1024 * 1024) -> int:
+               budget: int = 26 * 1024 * 1024) -> int:
     dk = min(d, _CHUNK)
     if d % dk:
         return 0
-    for tn in (512, 256, 128):
+    # per-width preference from the round-3 tile sweep on the real UNet
+    # shapes (tools/bench_ff4.py, .audit_r03.jsonl): C=320 runs best at
+    # tn=256 (3.015 vs 3.227 ms at tn=512), C=640 at tn=512
+    order = {320: (256, 512, 128), 640: (512, 256, 128)}.get(
+        c, (512, 256, 128))
+    for tn in order:
         if n % tn == 0 and _vmem_estimate(tn, c, d, dk) <= budget:
             return tn
     return 0
@@ -92,6 +97,11 @@ def _pick_tile_streamed(n: int, c: int, d: int,
                         budget: int = 72 * 1024 * 1024):
     """(tn, dk) for the streamed variant. Token tiles as LARGE as fit:
     weight traffic is (n/tn) * |w|, so big tiles amortize streaming."""
+    # round-3 sweep note (tools/bench_ff4.py): (2560, 2560) measured
+    # best standalone at the ds4 shape (2.440 vs 2.48-2.56 ms) but OOMs
+    # scoped VMEM in the real loop context (111.7M > 103.1M limit) —
+    # the conservative estimate below is what keeps in-context compiles
+    # safe; don't special-case past it.
     for tn in (2560, 2048, 1280, 1024, 512):
         if n % tn:
             continue

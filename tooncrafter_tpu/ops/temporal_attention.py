@@ -185,6 +185,14 @@ def _fused_vmem(pt: int, t: int, c: int, inner: int) -> int:
 
 def _pick_ptile_fused(p: int, t: int, c: int, inner: int,
                       budget: int = 64 * 1024 * 1024) -> int:
+    # tile-sweep preference at the UNet temporal shapes
+    # (tools/bench_ff4.py --only tattn, .audit_r03.jsonl): the largest
+    # fitting tile is NOT best — ds1 (P=2560, C=320) prefers pt=160,
+    # ds2 (P=640, C=640) prefers pt=64
+    pref = {(2560, 320): 160, (640, 640): 64}.get((p, c))
+    if pref and p % pref == 0 \
+            and _fused_vmem(pref, t, c, inner) <= budget:
+        return pref
     for blk in (512, 256, 160, 128, 80, 64, 40, 32, 16, 8):
         if p % blk == 0 and _fused_vmem(blk, t, c, inner) <= budget:
             return blk
@@ -247,16 +255,20 @@ def _fused_tattn_call(x, lnw, lnb, wqkv, wout, bout, heads: int,
         z = z * lnw_ref[0].astype(jnp.float32) \
             + lnb_ref[0].astype(jnp.float32)
         z2 = z.astype(cdt).reshape(pt * t, c)
+        # ONE reshape back to (pt, T, 3*inner) so every head is a plain
+        # minor-axis slice, exactly like the standalone _ptc kernel —
+        # a (pt*T, d) -> (pt, T, d) reshape per head costs a VMEM
+        # relayout each (up to 60 at the 20-head ds4 sites; ~0.3 ms
+        # fixed overhead per call in the round-3 in-loop trace)
         qkv = jax.lax.dot_general(
             z2, wqkv_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(cdt)
+            preferred_element_type=jnp.float32).astype(cdt) \
+            .reshape(pt, t, 3 * inner)
         outs = []
         for h in range(heads):
-            qb = qkv[:, h * d:(h + 1) * d].reshape(pt, t, d)
-            kb = qkv[:, inner + h * d:inner + (h + 1) * d] \
-                .reshape(pt, t, d)
-            vb = qkv[:, 2 * inner + h * d:2 * inner + (h + 1) * d] \
-                .reshape(pt, t, d)
+            qb = qkv[:, :, h * d:(h + 1) * d]
+            kb = qkv[:, :, inner + h * d:inner + (h + 1) * d]
+            vb = qkv[:, :, 2 * inner + h * d:2 * inner + (h + 1) * d]
             logits = jax.lax.dot_general(
                 qb, kb, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32) * scale
