@@ -12,7 +12,7 @@ from tooncrafter_tpu.ops import fused_norms as FN
 
 @pytest.fixture(autouse=True)
 def _enable_kernel(monkeypatch):
-    monkeypatch.setenv("TOONCRAFTER_FUSED_GN", "1")
+    monkeypatch.setattr(FN, "_FUSED_GN", True)
     monkeypatch.setattr(FN, "_INTERPRET", True)
     yield
 
@@ -47,7 +47,8 @@ def test_fused_gn_gradient_matches_xla():
 
 
 def test_disabled_by_default(monkeypatch):
-    monkeypatch.delenv("TOONCRAFTER_FUSED_GN", raising=False)
+    monkeypatch.setattr(FN, "_FUSED_GN", False)
+    monkeypatch.setattr(FN, "_INTERPRET", False)
     x = jnp.ones((1, 4, 4, 64))
     out = FN.group_norm_silu(x, jnp.ones(64), jnp.zeros(64))
     assert out.shape == x.shape  # falls through to the XLA path

@@ -29,7 +29,7 @@ def test_spatial_conv_defaults_to_xla():
 
 
 def test_spatial_conv_optin_envelope(monkeypatch):
-    monkeypatch.setenv("TC_SPATIAL_CONV_PALLAS", "1")
+    monkeypatch.setattr(sc, "_SPATIAL_CONV_PALLAS", True)
     # every UNet ResBlock conv shape must fit when opted in
     for h, w, cin, cout in [
         (40, 64, 320, 320), (40, 64, 640, 320), (40, 64, 320, 640),

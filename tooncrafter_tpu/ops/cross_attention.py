@@ -47,6 +47,8 @@ import jax.numpy as jnp
 from tooncrafter_tpu.ops import _dispatch
 
 _INTERPRET = False
+# read once at import — flipping mid-process has no effect on traced code
+_DUAL_CROSS_PALLAS = os.environ.get("TC_DUAL_CROSS_PALLAS") == "1"
 _LOG2E = 1.4426950408889634
 
 
@@ -72,7 +74,7 @@ def use_kernel(sq: int, lt: int, li: int, c: int, heads: int) -> bool:
     if not (_on_tpu() or _INTERPRET):
         return False
     # parked: loses to XLA's two-attention lowering (see module docstring)
-    return _INTERPRET or os.environ.get("TC_DUAL_CROSS_PALLAS") == "1"
+    return _INTERPRET or _DUAL_CROSS_PALLAS
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "blk_q"))

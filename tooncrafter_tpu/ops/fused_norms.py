@@ -26,6 +26,9 @@ from tooncrafter_tpu.ops import norms
 
 _INTERPRET = False
 _MAX_VMEM_SAMPLE_BYTES = 4 * 1024 * 1024  # bf16 activation bytes per sample
+# read once at import — flipping mid-process has no effect on traced code
+import os as _os
+_FUSED_GN = _os.environ.get("TOONCRAFTER_FUSED_GN") == "1"
 
 
 from tooncrafter_tpu.ops import _dispatch
@@ -115,10 +118,8 @@ def group_norm_silu(x, scale, bias, num_groups: int = 32, eps: float = 1e-5,
     XLA's own lowering fuses the norm apply into neighboring ops and beats
     the standalone kernel (2.4ms vs 3.1ms on the 32x2560x320 shape); the
     kernel remains for future conv-prologue fusion work."""
-    import os
-
     per_sample = int(np.prod(x.shape[1:])) * jnp.dtype(x.dtype).itemsize
-    if (os.environ.get("TOONCRAFTER_FUSED_GN") == "1"
+    if ((_FUSED_GN or _INTERPRET)
             and (_on_tpu() or _INTERPRET)
             and per_sample <= _MAX_VMEM_SAMPLE_BYTES):
         return _pallas_gn(x, scale, bias, num_groups, eps, silu)

@@ -103,8 +103,9 @@ def _use_kernel(h: int, w: int, cin: int, cout: int) -> bool:
     # 285.7 ms through the XLA formula vs 292.9 ms through the kernel.
     # All the algebraic wins (folded GN affine, temb-shift fold,
     # residual epilogue, stats chaining) live in the XLA path too.
-    # TC_SPATIAL_CONV_PALLAS=1 re-enables it for kernel work.
-    if not (_INTERPRET or os.environ.get("TC_SPATIAL_CONV_PALLAS")):
+    # TC_SPATIAL_CONV_PALLAS=1 re-enables it for kernel work (read at
+    # import — set it before the process starts, like the flags below).
+    if not (_INTERPRET or _SPATIAL_CONV_PALLAS):
         return False
     if not (_on_tpu() or _INTERPRET):
         return False
@@ -315,6 +316,7 @@ _STATS_BARRIER = bool(os.environ.get("TC_STATS_BARRIER"))
 # the epilogue's convert work at a ~bf16-noise-floor cost to the variance
 # estimate. OFF: fp32-stat GroupNorm is a repo convention.
 _STATS_SQ_BF16 = bool(os.environ.get("TC_STATS_SQ_BF16"))
+_SPATIAL_CONV_PALLAS = bool(os.environ.get("TC_SPATIAL_CONV_PALLAS"))
 
 
 def _apply_prologue(x, a, b, silu: bool):
