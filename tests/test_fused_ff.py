@@ -3,6 +3,13 @@
 Interpret-mode runs the real Pallas kernel body on CPU and checks it
 against the differentiable XLA form and against the unfused flax
 FeedForward path (reference attention.py:51-74 semantics).
+
+Tolerances on kernel-vs-XLA checks are set by the kernel's deg-15 erf
+polynomial (|erf err| <= 8.1e-5, amplified by the h half of the gate
+product): ~3e-4 in f32. The XLA fallback uses exact gelu, so parity
+tests of the full model on CPU are unaffected; in bf16 (the production
+compute dtype) the poly error sits ~50x below the rounding of the
+gated product.
 """
 
 import jax
@@ -33,7 +40,7 @@ def test_kernel_matches_xla(monkeypatch, c, n):
     got = fused_ff.fused_geglu_ff(x, w1, b1, w2, b2)
     want = fused_ff._xla_ff(x, w1, b1[None], w2, b2[None])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-5, rtol=2e-5)
+                               atol=4e-4, rtol=4e-4)
 
 
 def test_kernel_matches_unfused_module(monkeypatch):
@@ -49,7 +56,7 @@ def test_kernel_matches_unfused_module(monkeypatch):
     monkeypatch.setattr(fused_ff, "_INTERPRET", True)
     got = ff.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-5, rtol=2e-5)
+                               atol=4e-4, rtol=4e-4)
 
 
 def test_param_tree_identical_between_branches(monkeypatch):
@@ -83,7 +90,7 @@ def test_grads_flow_through_custom_vjp(monkeypatch):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
     for a, b in zip(g, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-4, rtol=2e-4)
+                                   atol=4e-3, rtol=1e-3)
 
 
 def test_dispatch_envelope(monkeypatch):
@@ -114,7 +121,7 @@ def test_streamed_kernel_matches_xla(monkeypatch):
     got = fused_ff.fused_geglu_ff(x, w1, b1, w2, b2)
     want = fused_ff._xla_ff(x, w1, b1[None], w2, b2[None])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-5, rtol=2e-5)
+                               atol=4e-4, rtol=4e-4)
 
 
 def test_streamed_tile_picker():
@@ -145,7 +152,7 @@ def test_ln_prologue_matches_separate_ln(monkeypatch, streamed):
     want = fused_ff._xla_ff(_ln_ref(x, lnw, lnb), w1, b1[None], w2,
                             b2[None])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-5, rtol=2e-5)
+                               atol=4e-4, rtol=4e-4)
 
 
 def test_ln_grads_match(monkeypatch):
@@ -168,7 +175,7 @@ def test_ln_grads_match(monkeypatch):
                                                      lnw, lnb)
     for a, b in zip(g, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-4, rtol=2e-4)
+                                   atol=4e-3, rtol=1e-3)
 
 
 def test_bf16_path(monkeypatch):

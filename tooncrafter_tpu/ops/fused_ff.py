@@ -32,9 +32,14 @@ statistics of the token tile are computed in-register (f32, matching
 ops/norms.LayerNorm exactly), saving the standalone normalize
 read+write pass over the activation at every FF site.
 
-Rounding mimics the unfused flax path (bf16 Dense outputs, f32 gelu):
-h and g are rounded to the compute dtype before gating, the gate runs
-in f32, and the product is rounded back before the out-GEMM.
+Rounding: the proj dots accumulate f32, the bias add and gate run in
+f32, and only the gated product is rounded to the compute dtype before
+the out-GEMM — a strict precision superset of both the unfused flax
+path (bf16 Dense outputs) and torch-autocast's half-precision gelu.
+The earlier bf16 round-trip before the gate (mimicking unfused Dense
+outputs bit-for-bit) cost two extra VPU passes per element for no
+accuracy benefit — A/B'd as `fastround` in tools/bench_ff5.py
+(.audit_r03.jsonl: ds1 3.24→3.02 ms with the dk split below).
 
 Backward recomputes through the differentiable XLA form (house pattern,
 see ops/temporal_conv.py) so the Pallas forward stays a leaf.
@@ -51,7 +56,12 @@ import jax.numpy as jnp
 from tooncrafter_tpu.ops import _dispatch
 
 _INTERPRET = False
-_CHUNK = 1280  # max inner-dim columns handled per in-kernel GEMM pair
+# Max inner-dim columns per in-kernel GEMM pair. 640 (vs the VMEM-fit
+# 1280) splits the resident kernel into chunks so chunk j+1's proj dots
+# are issueable while chunk j's gate runs on the VPU — measured best at
+# both resident widths (tools/bench_ff5.py: ds1 dk640 3.16 vs dk1280
+# 3.24 ms, ds2 dk640 2.34 vs 2.50 with fastround).
+_CHUNK = 640
 
 
 def _on_tpu() -> bool:
@@ -131,24 +141,25 @@ def use_kernel(n: int, c: int, d: int, cout: int | None = None) -> bool:
             and (_on_tpu() or _INTERPRET))
 
 
-_ERF_COEF = (1.1283599252e+00, -3.7593882924e-01, 1.1232775752e-01,
-             -2.6235394188e-02, 4.7904560104e-03, -6.7044281677e-04,
-             6.8676210799e-05, -4.7832972359e-06, 2.0007393939e-07,
-             -3.7614280374e-09)
+_ERF_COEF = (1.1278945436e+00, -3.7322828233e-01, 1.0771515983e-01,
+             -2.2684729338e-02, 3.3184852980e-03, -3.1456988240e-04,
+             1.7158381492e-05, -4.0550414519e-07)
 
 
 def _erf_f32(x):
     """Odd-polynomial erf on the clamped range [-3, 3]:
-    erf(u) ~ u * P(u^2), deg-19, |err| <= 3.5e-6 (Chebyshev-node LS fit;
-    1-erf(3) = 2.2e-5, so the clamp adds at most 2.2e-5 in the
-    saturated tail). Far below bf16 resolution, and unlike A&S 7.1.26
-    it needs no exp / reciprocal / sign — a pure fma chain on the VPU,
-    measured ~7% faster at the ds1 FF site (tools/bench_ff3.py).
+    erf(u) ~ u * P(u^2), deg-15, |err| <= 8.1e-5 (Lawson-weighted LS
+    toward minimax; 1-erf(3) = 2.2e-5, so the clamp adds at most 2.2e-5
+    in the saturated tail). ~50x below the bf16 round of the gated
+    product, and unlike A&S 7.1.26 it needs no exp / reciprocal / sign —
+    a pure fma chain on the VPU. Two fmas shorter than the round-2
+    deg-19 fit (same accuracy class at bf16 output; tools/bench_ff5.py
+    measured the shorter poly worth ~0.15 ms at the ds1 site).
     Mosaic has no native erf lowering. x: f32."""
     u = jnp.clip(x, -3.0, 3.0)
     s = u * u
-    p = _ERF_COEF[9]
-    for c_ in _ERF_COEF[8::-1]:
+    p = _ERF_COEF[-1]
+    for c_ in _ERF_COEF[-2::-1]:
         p = p * s + c_
     return u * p
 
@@ -203,10 +214,9 @@ def _pallas_ff(x2, w1, b1, w2, b2, lnw, lnb, eps, residual=False):
             g = jax.lax.dot_general(
                 xt, w1_ref[:, d + lo:d + hi], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            # round like the unfused bf16 Dense outputs, gate in f32
-            h = (h.astype(cdt) + b1_ref[0, lo:hi]).astype(jnp.float32)
-            g = (g.astype(cdt) + b1_ref[0, d + lo:d + hi]) \
-                .astype(jnp.float32)
+            # f32 bias + gate; only the product rounds to compute dtype
+            h = h + b1_ref[0, lo:hi].astype(jnp.float32)
+            g = g + b1_ref[0, d + lo:d + hi].astype(jnp.float32)
             m = (h * _gelu_exact_f32(g)).astype(cdt)
             acc = acc + jax.lax.dot_general(
                 m, w2_ref[lo:hi, :], (((1,), (0,)), ((), ())),
@@ -275,8 +285,8 @@ def _pallas_ff_streamed(x2, w1, b1, w2, b2, lnw, lnb, eps,
         g = jax.lax.dot_general(
             xt, w1g_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        h = (h.astype(cdt) + b1h_ref[0]).astype(jnp.float32)
-        g = (g.astype(cdt) + b1g_ref[0]).astype(jnp.float32)
+        h = h + b1h_ref[0].astype(jnp.float32)
+        g = g + b1g_ref[0].astype(jnp.float32)
         m = (h * _gelu_exact_f32(g)).astype(cdt)
         acc_ref[:] += jax.lax.dot_general(
             m, w2_ref[...], (((1,), (0,)), ((), ())),
@@ -318,12 +328,12 @@ def _pallas_ff_streamed(x2, w1, b1, w2, b2, lnw, lnb, eps,
 
 def _xla_ff(x, w1, b1, w2, b2):
     """Differentiable reference form, same dtype semantics as the
-    unfused flax path (bf16 dots, f32 gelu)."""
-    a = jnp.dot(x, w1) + b1[0]
+    kernel (f32-accumulated dots + f32 bias/gate, product rounded to
+    the compute dtype)."""
+    a = jnp.dot(x, w1, preferred_element_type=jnp.float32) \
+        + b1[0].astype(jnp.float32)
     h, g = jnp.split(a, 2, axis=-1)
-    m = (h.astype(jnp.float32)
-         * jax.nn.gelu(g.astype(jnp.float32), approximate=False)
-         ).astype(x.dtype)
+    m = (h * jax.nn.gelu(g, approximate=False)).astype(x.dtype)
     return jnp.dot(m, w2) + b2[0]
 
 
