@@ -59,9 +59,11 @@ class TemporalConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, stats=None, deterministic: bool = True):
+    def __call__(self, x, *, stats=None, deterministic: bool = True,
+                 return_stats: bool = False):
         c = x.shape[-1]
         h = x
+        out_stats = None
         fused = deterministic or self.dropout == 0.0
         st = stats if fused else None
         for i, zero in ((1, False), (2, False), (3, False), (4, True)):
@@ -77,7 +79,15 @@ class TemporalConvBlock(nn.Module):
                 # h never takes a standalone elementwise/reduce pass.
                 aff = norm(h, return_affine=True, stats=st)
                 if i == 4:
-                    h = conv(h, prologue=aff, residual=x)
+                    if return_stats:
+                        # per-frame (B, T, C) sums of the block OUTPUT
+                        # (post-residual) — seeds the next consumer's
+                        # norm across the block boundary
+                        h, s1, s2 = conv(h, prologue=aff, residual=x,
+                                         return_stats=True)
+                        out_stats = (s1, s2)
+                    else:
+                        h = conv(h, prologue=aff, residual=x)
                 else:
                     h, s1, s2 = conv(h, prologue=aff, return_stats=True)
                     # per-frame (B,T,C) sums -> (B,C): the next norm
@@ -89,7 +99,8 @@ class TemporalConvBlock(nn.Module):
                     h = nn.Dropout(self.dropout,
                                    deterministic=deterministic)(h)
                 h = conv(h)
-        return h if fused else x + h
+        out = h if fused else x + h
+        return (out, out_stats) if return_stats else out
 
 
 class UNetResBlock(nn.Module):
@@ -103,9 +114,14 @@ class UNetResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, num_frames: int = 16,
-                 deterministic: bool = True):
+                 deterministic: bool = True, stats=None,
+                 return_stats: bool = False):
         # x: (B*T, H, W, C); emb: (B*T, emb_ch)
-        # num_frames/deterministic are positional-static for nn.remat
+        # num_frames/deterministic/return_stats are positional-static for
+        # nn.remat. stats: optional chained (s1, s2) per-channel sums of
+        # x ((B*T, C), from the upstream block's epilogue) consumed by
+        # in_norm; return_stats=True returns (h, (s1, s2)) with sums of
+        # the block output for the downstream norm.
         out_ch = self.out_channels or x.shape[-1]
         in_norm = GroupNormAct(eps=1e-5, name="in_norm")
         in_conv = SpatialConv3x3(out_ch, dtype=self.dtype, name="in_conv")
@@ -117,13 +133,15 @@ class UNetResBlock(nn.Module):
             nn.Dense(out_ch, dtype=self.dtype, name="skip")(x)
         fused = deterministic or self.dropout == 0.0
         tstats = None
+        out_stats = None
         if fused:
             # inference hot path: each GN+SiLU folds into its conv's
             # prologue (one HBM round-trip each); the temb add is folded
             # analytically into out_norm's affine (never materialized);
             # the skip-add rides the second conv's epilogue, whose stats
             # epilogue seeds the temporal block's first norm.
-            h, s1, s2 = in_conv(x, prologue=in_norm(x, return_affine=True),
+            h, s1, s2 = in_conv(x, prologue=in_norm(x, return_affine=True,
+                                                    stats=stats),
                                 return_stats=True)
             aff = out_norm(h, shift=e, return_affine=True, stats=(s1, s2))
             if self.use_temporal_conv:
@@ -134,6 +152,10 @@ class UNetResBlock(nn.Module):
                 # matching the temporal block's 5-D GroupNorm
                 tstats = (so1.reshape(b, num_frames, -1).sum(1),
                           so2.reshape(b, num_frames, -1).sum(1))
+            elif return_stats:
+                h, so1, so2 = out_conv(h, prologue=aff, residual=skip,
+                                       return_stats=True)
+                out_stats = (so1, so2)
             else:
                 h = out_conv(h, prologue=aff, residual=skip)
         else:
@@ -148,11 +170,22 @@ class UNetResBlock(nn.Module):
             bt = h.shape[0]
             b = bt // num_frames
             h5 = h.reshape((b, num_frames) + h.shape[1:])
-            h5 = TemporalConvBlock(dropout=0.1, dtype=self.dtype,
-                                   name="temporal_conv")(
-                h5, stats=tstats, deterministic=deterministic)
+            want_st = return_stats and fused
+            out5 = TemporalConvBlock(dropout=0.1, dtype=self.dtype,
+                                     name="temporal_conv")(
+                h5, stats=tstats, deterministic=deterministic,
+                return_stats=want_st)
+            if want_st:
+                h5, tc_stats = out5
+                if tc_stats is not None:
+                    # per-frame (B, T, C) -> (B*T, C): the downstream
+                    # spatial norm spans (H, W) per frame-sample
+                    s1f, s2f = tc_stats
+                    out_stats = (s1f.reshape(bt, -1), s2f.reshape(bt, -1))
+            else:
+                h5 = out5
             h = h5.reshape(h.shape)
-        return h
+        return (h, out_stats) if return_stats else h
 
 
 import os as _os
@@ -541,10 +574,18 @@ class SpatialTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, deterministic: bool = True):
+    def __call__(self, x, context=None, deterministic: bool = True,
+                 stats=None, return_stats: bool = False):
+        # stats: optional chained (s1, s2) per-channel sums of x
+        # ((B*T, C), from the upstream ResBlock's conv epilogue) — the
+        # GN then never reads x for statistics, so XLA stops
+        # materializing an f32 copy of the activation before the
+        # proj_in layout transpose (profiled ~0.55 ms per 320-ch site).
+        # return_stats=True also returns sums of the OUTPUT (residual
+        # included) for the downstream temporal transformer's norm.
         bt, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
-        h = GroupNormAct(eps=1e-6, act=False, name="norm")(x)
+        h = GroupNormAct(eps=1e-6, act=False, name="norm")(x, stats=stats)
         h = h.reshape(bt, hh * ww, c)
         h = _dense2d(nn.Dense(inner, dtype=self.dtype, name="proj_in"), h)
         for d in range(self.depth):
@@ -555,7 +596,14 @@ class SpatialTransformer(nn.Module):
             )(h, context, deterministic=deterministic)
         h = _dense2d(nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
                               name="proj_out"), h)
-        return x + h.reshape(bt, hh, ww, c)
+        out = x + h.reshape(bt, hh, ww, c)
+        if not return_stats:
+            return out
+        # inline f32 casts (see ops/norms.gn_affine) so the sums fuse
+        # into the residual-add pass instead of upcasting out in HBM
+        s1 = jnp.sum(out, axis=(1, 2), dtype=jnp.float32)
+        s2 = jnp.sum(jnp.square(out.astype(jnp.float32)), axis=(1, 2))
+        return out, (s1, s2)
 
 
 class TemporalTransformer(nn.Module):
@@ -571,7 +619,13 @@ class TemporalTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, stats=None,
+                 return_stats: bool = False):
+        # stats: optional chained (s1, s2) per-channel sums of x over
+        # (T, H, W) — shape (B, C) — from the upstream spatial
+        # transformer's output sums; the 5-D GroupNorm then costs no
+        # stats read of x. return_stats=True also returns per-frame
+        # (B, T, C) sums of the output for the next block's norm.
         # x: (B, T, H, W, C). Two layouts for the block stack:
         #  * fast path (TPU, no mask/rel-pos): (B, P, T, C) — one transpose
         #    in/out; per-pixel T-attention runs in the Pallas kernel and
@@ -590,7 +644,7 @@ class TemporalTransformer(nn.Module):
         fast = (not self.causal and not self.relative_position
                 and (ta.use_kernel(t, hh * ww, self.dim_head, inner=inner)
                      or fused_ok))
-        h = GroupNormAct(eps=1e-6, act=False, name="norm")(x)
+        h = GroupNormAct(eps=1e-6, act=False, name="norm")(x, stats=stats)
         if fast:
             # barriers keep the layout transpose a standalone bandwidth
             # copy instead of a forced-layout fusion into the norm apply
@@ -611,7 +665,12 @@ class TemporalTransformer(nn.Module):
         if fast:
             h = jax.lax.optimization_barrier(h)
             h = h.transpose(0, 2, 1, 3).reshape(b, t, hh, ww, c)
-        return x + h
+        out = x + h
+        if not return_stats:
+            return out
+        s1 = jnp.sum(out, axis=(2, 3), dtype=jnp.float32)   # (B, T, C)
+        s2 = jnp.sum(jnp.square(out.astype(jnp.float32)), axis=(2, 3))
+        return out, (s1, s2)
 
 
 class Downsample(nn.Module):
@@ -685,12 +744,18 @@ class UNetModel(nn.Module):
         bs = b // g if g > 1 else b  # stem clip count
         shared = [g > 1]  # mutated once the first context consumer runs
 
-        def widen(h):
-            """Tile the stem result back to the full CFG batch."""
+        def widen_pair(h, st):
+            """Tile the stem result (and its chained stats) back to the
+            full CFG batch."""
             if shared[0]:
                 h = jnp.tile(h, (g,) + (1,) * (h.ndim - 1))
+                if st is not None:
+                    st = (jnp.tile(st[0], (g, 1)), jnp.tile(st[1], (g, 1)))
                 shared[0] = False
-            return h
+            return h, st
+
+        def widen(h):
+            return widen_pair(h, None)[0]
 
         # ---- time + fps embedding, broadcast per frame ----
         t_emb = timestep_embedding(timesteps, mc).astype(self.dtype)
@@ -727,81 +792,119 @@ class UNetModel(nn.Module):
             # x/emb rows are identical by the cfg_groups contract
             h = h[:bs * t]
 
-        def res(idx_name, ch, h):
-            cls = (nn.remat(UNetResBlock, static_argnums=(3, 4))
+        # Chained per-channel stats (s1, s2) ride alongside h across
+        # block boundaries: each block's closing op emits sums of its
+        # output, and the next block's norm folds them into its affine —
+        # no norm in the hot path ever reads its input for statistics.
+        # Gated like the in-block fusion (ResBlock `fused`).
+        chain = deterministic or self.dropout == 0.0
+
+        def res(idx_name, ch, h, st=None):
+            cls = (nn.remat(UNetResBlock, static_argnums=(3, 4, 6))
                    if self.use_checkpoint else UNetResBlock)
             e = emb[:bs * t] if shared[0] else emb
-            return cls(ch, self.dropout, use_temporal_conv=True,
-                       dtype=self.dtype, name=idx_name)(
-                h, e, t, deterministic)
+            out = cls(ch, self.dropout, use_temporal_conv=True,
+                      dtype=self.dtype, name=idx_name)(
+                h, e, t, deterministic, st if chain else None, chain)
+            return out if chain else (out, None)
 
-        def spatial(idx_name, ch, h):
+        def spatial(idx_name, ch, h, st=None):
             heads = ch // self.num_head_channels
-            cls = (nn.remat(SpatialTransformer, static_argnums=(3,))
+            cls = (nn.remat(SpatialTransformer, static_argnums=(3, 5))
                    if self.use_checkpoint else SpatialTransformer)
-            return cls(
+            h, st = widen_pair(h, st)
+            out = cls(
                 heads, self.num_head_channels, self.transformer_depth,
                 image_branch=self.image_cross_attention,
                 ip_scale_learnable=self.image_cross_attention_scale_learnable,
-                dtype=self.dtype, name=idx_name)(widen(h), ctx,
-                                                 deterministic)
+                dtype=self.dtype, name=idx_name)(
+                h, ctx, deterministic, st if chain else None, chain)
+            return out if chain else (out, None)
 
-        def temporal(idx_name, ch, h, heads=None):
+        def temporal(idx_name, ch, h, st=None, heads=None):
             heads = heads or ch // self.num_head_channels
             nb = bs if shared[0] else b
             h5 = h.reshape((nb, t) + h.shape[1:])
-            cls = (nn.remat(TemporalTransformer, static_argnums=(2,))
+            st5 = None
+            if chain and st is not None:
+                # (nb*t, C) frame sums -> (nb, C): the temporal norm
+                # spans (T, H, W)
+                st5 = (st[0].reshape(nb, t, -1).sum(1),
+                       st[1].reshape(nb, t, -1).sum(1))
+            cls = (nn.remat(TemporalTransformer, static_argnums=(2, 4))
                    if self.use_checkpoint else TemporalTransformer)
-            h5 = cls(
+            out = cls(
                 heads, self.num_head_channels, self.transformer_depth,
                 causal=self.use_causal_attention,
                 relative_position=self.use_relative_position,
-                dtype=self.dtype, name=idx_name)(h5, deterministic)
-            return h5.reshape(h.shape)
+                dtype=self.dtype, name=idx_name)(
+                h5, deterministic, st5, chain)
+            if chain:
+                h5, so = out
+                so = (None if so is None else
+                      (so[0].reshape(nb * t, -1), so[1].reshape(nb * t, -1)))
+            else:
+                h5, so = out, None
+            return h5.reshape(h.shape), so
+
+        def push(h, st):
+            """Skip-stack entry: (h, stats), stem-tiled to full batch."""
+            if shared[0]:
+                h = jnp.tile(h, (g, 1, 1, 1))
+                st = (None if st is None else
+                      (jnp.tile(st[0], (g, 1)), jnp.tile(st[1], (g, 1))))
+            hs.append((h, st))
 
         # ---- input blocks ----
         hs = []
         h = nn.Conv(mc, (3, 3), dtype=self.dtype, name="input_conv")(h)
+        st = None
         if self.addition_attention:
-            h = temporal("init_attn", mc, h, heads=8)
-        hs.append(jnp.tile(h, (g, 1, 1, 1)) if shared[0] else h)
+            h, st = temporal("init_attn", mc, h, st, heads=8)
+        push(h, st)
         ch = mc
         ds = 1
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
                 ch = mult * mc
-                h = res(f"in_{level}_{i}_res", ch, h)
+                h, st = res(f"in_{level}_{i}_res", ch, h, st)
                 if ds in self.attention_resolutions:
-                    h = spatial(f"in_{level}_{i}_spatial", ch, h)
-                    h = temporal(f"in_{level}_{i}_temporal", ch, h)
-                hs.append(jnp.tile(h, (g, 1, 1, 1)) if shared[0] else h)
+                    h, st = spatial(f"in_{level}_{i}_spatial", ch, h, st)
+                    h, st = temporal(f"in_{level}_{i}_temporal", ch, h, st)
+                push(h, st)
             if level != len(self.channel_mult) - 1:
                 h = Downsample(self.dtype, name=f"down_{level}")(h)
+                st = None
                 ds *= 2
-                hs.append(jnp.tile(h, (g, 1, 1, 1)) if shared[0] else h)
+                push(h, st)
 
         # ---- middle ----
-        h = widen(h)  # no-op unless the config has no spatial attention
-        h = res("mid_res_0", ch, h)
-        h = spatial("mid_spatial", ch, h)
-        h = temporal("mid_temporal", ch, h)
-        h = res("mid_res_1", ch, h)
+        h, st = widen_pair(h, st)  # no-op unless no spatial attention
+        h, st = res("mid_res_0", ch, h, st)
+        h, st = spatial("mid_spatial", ch, h, st)
+        h, st = temporal("mid_temporal", ch, h, st)
+        h, st = res("mid_res_1", ch, h, st)
 
         # ---- output blocks ----
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
-                skip = hs.pop()
+                skip, skip_st = hs.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
+                # stats of a channel concat = concat of per-channel sums
+                st = ((jnp.concatenate([st[0], skip_st[0]], axis=-1),
+                       jnp.concatenate([st[1], skip_st[1]], axis=-1))
+                      if (st is not None and skip_st is not None) else None)
                 ch = mult * mc
-                h = res(f"out_{level}_{i}_res", ch, h)
+                h, st = res(f"out_{level}_{i}_res", ch, h, st)
                 if ds in self.attention_resolutions:
-                    h = spatial(f"out_{level}_{i}_spatial", ch, h)
-                    h = temporal(f"out_{level}_{i}_temporal", ch, h)
+                    h, st = spatial(f"out_{level}_{i}_spatial", ch, h, st)
+                    h, st = temporal(f"out_{level}_{i}_temporal", ch, h, st)
                 if level and i == self.num_res_blocks:
                     h = Upsample(self.dtype, name=f"up_{level}")(h)
+                    st = None
                     ds //= 2
 
-        h = GroupNormAct(eps=1e-5, name="out_norm")(h)
+        h = GroupNormAct(eps=1e-5, name="out_norm")(h, stats=st)
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
                     kernel_init=zeros_init, name="out_conv")(h)
         return h.reshape(b, t, hh, ww, self.out_channels).astype(jnp.float32)

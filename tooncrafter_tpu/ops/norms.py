@@ -149,7 +149,28 @@ class GroupNormAct(nn.Module):
                     self.eps, shift=shift)
             return gn_affine(x, weight, bias, self.num_groups, self.eps,
                              shift=shift)
-        assert shift is None and stats is None
+        assert shift is None
+        if stats is not None:
+            # apply-from-chained-stats: the producer's epilogue already
+            # summed x and x^2, so this pass never reads x for
+            # statistics — with one consumer left, XLA fuses the f32
+            # upcast + affine (+act) + downcast into a single pass (or
+            # into the consumer's layout copy) instead of materializing
+            # a full f32 activation copy (profiled: the standalone
+            # spatial-transformer GN cost a 105 MB f32 convert + a
+            # 105 MB f32 transpose per 320-ch site in the denoise loop).
+            s1, s2 = stats
+            spatial = 1
+            for d in x.shape[1:-1]:
+                spatial *= d
+            a_c, b_c = gn_affine_from_stats(
+                s1, s2, spatial, weight, bias, self.num_groups, self.eps)
+            bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+            out = (x.astype(jnp.float32) * a_c.reshape(bshape)
+                   + b_c.reshape(bshape))
+            if self.act:
+                out = out * jax.nn.sigmoid(out)
+            return out.astype(x.dtype)
         return group_norm_silu(x, weight, bias, self.num_groups, self.eps,
                                self.act)
 
