@@ -586,6 +586,12 @@ class SpatialTransformer(nn.Module):
         bt, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
         h = GroupNormAct(eps=1e-6, act=False, name="norm")(x, stats=stats)
+        # barrier: keep the proj_in layout change a standalone bf16
+        # transpose of the normalized activation — without it, layout
+        # assignment materializes the apply's f32 upcast row-major and
+        # transposes the f32 tensor (2x the bytes; profiled 0.65 vs
+        # ~0.26 ms per ds1 site). Same trick as the temporal fast path.
+        h = jax.lax.optimization_barrier(h)
         h = h.reshape(bt, hh * ww, c)
         h = _dense2d(nn.Dense(inner, dtype=self.dtype, name="proj_in"), h)
         for d in range(self.depth):
