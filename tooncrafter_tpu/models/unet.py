@@ -602,6 +602,9 @@ class SpatialTransformer(nn.Module):
             )(h, context, deterministic=deterministic)
         h = _dense2d(nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
                               name="proj_out"), h)
+        # (an exit barrier mirroring the entry one was A/B'd: 194.0 vs
+        # 192.0 ms/step in-loop — the proj_out->residual boundary fuses
+        # better when XLA owns the layout; don't add one)
         out = x + h.reshape(bt, hh, ww, c)
         if not return_stats:
             return out
