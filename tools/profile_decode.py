@@ -47,12 +47,19 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--trace", action="store_true")
     p.add_argument("--logdir", default="/tmp/decode_profile")
+    p.add_argument("--hlo", default=None,
+                   help="dump the optimized decode HLO text here")
     args = p.parse_args()
 
     t0 = time.time()
     dec, inputs = build()
     print(f"[{time.time()-t0:.1f}s] built; compiling...", flush=True)
     sync = lambda y: float(jnp.mean(y.astype(jnp.float32)))
+    if args.hlo:
+        compiled = dec.lower(*inputs).compile()
+        with open(args.hlo, "w") as f:
+            f.write(compiled.as_text())
+        print(f"[{time.time()-t0:.1f}s] HLO -> {args.hlo}", flush=True)
     sync(dec(*inputs))
     print(f"[{time.time()-t0:.1f}s] compiled; timing...", flush=True)
     times = []

@@ -622,8 +622,22 @@ def _flash_bh_with_lse(q, k, v, scale: float):
     if bq_single:
         return _flash_bh_single(q, k, v, scale, bq_single)
     blk_q, blk_k = _pick_fwd_blocks(sq, sk)
+    # Process several K half-blocks per grid step with a JOINT
+    # running-max update: one K block per step serializes the
+    # QK (MXU) -> softmax (VPU) -> PV (MXU) chain across the sweep;
+    # with independent halves in one body the scheduler overlaps half
+    # j's exp2 passes with half j+1's dots. Math = standard flash at
+    # block size halves*blk_k (identical modulo f32 reassociation).
+    # A/B at the dual-ref inject_2 site (8, 163840x20480, d=64):
+    # 134.2 -> 124.3 ms standalone with halves=4 (tools/bench_flash4.py).
+    halves = 1
+    for h in (4, 2):
+        if sk % (blk_k * h) == 0:
+            halves = h
+            break
+    step_k = blk_k * halves
     n_q = pl.cdiv(sq, blk_q)
-    n_k = pl.cdiv(sk, blk_k)
+    n_k = pl.cdiv(sk, step_k)
     s2 = scale * _LOG2E  # exp2-domain softmax: exponent is a bare exp2
 
     def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref):
@@ -636,23 +650,31 @@ def _flash_bh_with_lse(q, k, v, scale: float):
             l_ref[:] = jnp.zeros_like(l_ref)
 
         qb = q_ref[0]            # (blk_q, d)
-        kb = k_ref[0]            # (blk_k, d)
-        vb = v_ref[0]
-        s = jax.lax.dot_general(
-            qb, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * s2                    # (blk_q, blk_k) fp32, log2 units
+        ss = []
+        for h in range(halves):
+            kb = k_ref[0, h * blk_k:(h + 1) * blk_k]
+            ss.append(jax.lax.dot_general(
+                qb, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * s2)               # (blk_q, blk_k) fp32, log2 units
 
         m_prev = m_ref[:]         # (blk_q, 128) broadcast storage
-        m_cur = jnp.max(s, axis=-1, keepdims=True)          # (blk_q, 1)
+        m_cur = jnp.max(ss[0], axis=-1, keepdims=True)      # (blk_q, 1)
+        for s in ss[1:]:
+            m_cur = jnp.maximum(m_cur, jnp.max(s, axis=-1, keepdims=True))
         m_new = jnp.maximum(m_prev[:, :1], m_cur)
         correction = jnp.exp2(m_prev[:, :1] - m_new)
-        p = jnp.exp2(s - m_new)                              # (blk_q, blk_k)
-        l_new = correction * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        l_new = correction * l_ref[:, :1]
+        pv = None
+        for h, s in enumerate(ss):
+            p = jnp.exp2(s - m_new)                  # (blk_q, blk_k)
+            l_new = l_new + jnp.sum(p, axis=-1, keepdims=True)
+            vb = v_ref[0, h * blk_k:(h + 1) * blk_k]
+            t = jax.lax.dot_general(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pv = t if pv is None else pv + t
         acc_ref[:] = acc_ref[:] * correction + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
@@ -668,8 +690,8 @@ def _flash_bh_with_lse(q, k, v, scale: float):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, blk_q, d), lambda b_, i, j: (b_, i, 0)),
-            pl.BlockSpec((1, blk_k, d), lambda b_, i, j: (b_, j, 0)),
-            pl.BlockSpec((1, blk_k, d), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, step_k, d), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, step_k, d), lambda b_, i, j: (b_, j, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, blk_q, d), lambda b_, i, j: (b_, i, 0)),
