@@ -151,3 +151,64 @@ def test_kernel_gradients_match_xla():
         ta._INTERPRET = False
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_pair_kernel_matches_two_stages():
+    """attn1+attn2 pair kernel == two sequential fused sub-blocks."""
+    b, p, t, c = 1, 128, 16, 128
+    heads, d = 2, 64
+    inner = heads * d
+    ks = jax.random.split(jax.random.PRNGKey(5), 13)
+    x = jax.random.normal(ks[0], (b, p, t, c), jnp.float32)
+
+    def mk(i):
+        lnw = jax.random.normal(ks[i], (c,), jnp.float32) * 0.1 + 1.0
+        lnb = jax.random.normal(ks[i + 1], (c,), jnp.float32) * 0.1
+        wq = jax.random.normal(ks[i + 2], (c, inner)) * c ** -0.5
+        wk = jax.random.normal(ks[i + 3], (c, inner)) * c ** -0.5
+        wv = jax.random.normal(ks[i + 4], (c, inner)) * c ** -0.5
+        wo = jax.random.normal(ks[i + 5], (inner, c)) * inner ** -0.5
+        return ((lnw, lnb), wq, wk, wv, wo, jnp.zeros((c,)))
+
+    a1, a2 = mk(1), mk(7)
+    old = ta._INTERPRET
+    ta._INTERPRET = True
+    try:
+        assert ta.use_pair_kernel(t, p, d, c, inner)
+        y = ta.fused_temporal_attn(x, *a1, heads=heads, scale=d ** -0.5)
+        ref = ta.fused_temporal_attn(y, *a2, heads=heads, scale=d ** -0.5)
+        got = ta.fused_temporal_attn_pair(x, a1, a2, heads=heads,
+                                          scale=d ** -0.5)
+    finally:
+        ta._INTERPRET = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_fused_pair_gradients_match_xla():
+    b, p, t, c = 1, 128, 4, 64
+    heads, d = 1, 64
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(b, p, t, c)), jnp.float32)
+    lnw = jnp.ones((c,)); lnb = jnp.zeros((c,))
+    w = jnp.asarray(rng.normal(size=(c, c)) * c ** -0.5, jnp.float32)
+    bo = jnp.zeros((c,))
+    a = ((lnw, lnb), w, w, w, w, bo)
+    ta._INTERPRET = True
+    try:
+        f = lambda v: jnp.sum(ta.fused_temporal_attn_pair(
+            v, a, a, heads=heads, scale=d ** -0.5) ** 2)
+
+        def r(v):
+            wqkv = jnp.concatenate([w, w, w], axis=1)
+            y = ta._xla_fused_tattn(v, lnw, lnb, wqkv, w, bo,
+                                    heads, d ** -0.5, 1e-5)
+            return jnp.sum(ta._xla_fused_tattn(
+                y, lnw, lnb, wqkv, w, bo, heads, d ** -0.5, 1e-5) ** 2)
+
+        got = jax.grad(f)(x)
+        ref = jax.grad(r)(x)
+    finally:
+        ta._INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)

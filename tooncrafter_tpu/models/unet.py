@@ -280,6 +280,23 @@ class _LNParams(nn.Module):
         return w, b
 
 
+class _TAttnParams(nn.Module):
+    """Param-tree twin of the temporal self-attention CrossAttention
+    (to_q/to_k/to_v no-bias kernels + to_out dense), for the fused
+    attn1+attn2 pair kernel that consumes both stages' weights raw."""
+
+    inner: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, c: int):
+        wq = _DenseParamsNB(self.inner, name="to_q")(c)
+        wk = _DenseParamsNB(self.inner, name="to_k")(c)
+        wv = _DenseParamsNB(self.inner, name="to_v")(c)
+        wo, bo = _DenseParams(self.out_dim, name="to_out")(self.inner)
+        return wq, wk, wv, wo, bo
+
+
 class FeedForward(nn.Module):
     mult: int = 4
     dropout: float = 0.0
@@ -519,6 +536,27 @@ class BasicTransformerBlock(nn.Module):
         fuse_t = (x.ndim == 4 and mask is None
                   and not self.relative_position
                   and (deterministic or self.dropout == 0.0))
+        if fuse_t and not (self.cross and context is not None):
+            # both sub-blocks are plain T-self-attention — run them as
+            # ONE Pallas kernel when covered (the pair kernel halves the
+            # HBM round-trips: the round-3 in-loop trace shows attn2.N
+            # consuming attn1.N back-to-back at every temporal site)
+            from tooncrafter_tpu.ops import temporal_attention as ta
+            _, p_, t_, c_ = x.shape
+            inner_ = self.heads * self.dim_head
+            if ta.use_pair_kernel(t_, p_, self.dim_head, c_, inner_):
+                ln1 = _LNParams(name="norm1")(c_)
+                ln2 = _LNParams(name="norm2")(c_)
+                a1 = _TAttnParams(inner_, c_, name="attn1")(c_)
+                a2 = _TAttnParams(inner_, c_, name="attn2")(c_)
+                x = ta.fused_temporal_attn_pair(
+                    x, (ln1, *a1), (ln2, *a2), heads=self.heads,
+                    scale=self.dim_head ** -0.5)
+                ln3 = _LNParams(name="norm3")(x.shape[-1])
+                return FeedForward(dropout=self.dropout, dtype=self.dtype,
+                                   name="ff")(
+                    x, ln=ln3, residual=True,
+                    deterministic=deterministic)
         if fuse_t:
             ln1 = _LNParams(name="norm1")(x.shape[-1])
             x = CrossAttention(self.heads, self.dim_head,

@@ -30,7 +30,15 @@ import functools
 import jax
 import jax.numpy as jnp
 
+import os as _os
+
 _INTERPRET = False  # set True to debug off-TPU
+# A/B knobs, read ONCE at import (flipping them later in a process that
+# already compiled has no effect — fresh process per A/B):
+#   TC_TATTN_PACK: block-diagonal pixel packing inside the kernels
+#   TC_TATTN_PAIR: fuse attn1+attn2 into one kernel per temporal block
+_PACK = _os.environ.get("TC_TATTN_PACK", "1") == "1"
+_PAIR = _os.environ.get("TC_TATTN_PAIR", "1") == "1"
 
 
 from tooncrafter_tpu.ops import _dispatch
@@ -179,7 +187,8 @@ def _fused_vmem(pt: int, t: int, c: int, inner: int) -> int:
     qkv = tok * 3 * inner * 2                # packed projections
     o = tok * inner * 2                      # attention output
     acc = tok * c * 4                        # out-GEMM f32 accumulator
-    logits = pt * t * t * 4 * 2              # per-head logits + probs
+    blk = 128 if (t <= 128 and 128 % t == 0) else t   # pixel packing
+    logits = tok * blk * 4 * 2               # per-head logits + probs
     return io + w + z + qkv + o + acc + logits
 
 
@@ -246,44 +255,10 @@ def _fused_tattn_call(x, lnw, lnb, wqkv, wout, bout, heads: int,
 
     def kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, wout_ref, bout_ref,
                o_ref):
-        xb = x_ref[0]                                  # (pt, T, C)
-        xf = xb.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        mean_sq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
-        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-        z = (xf - mean) * jax.lax.rsqrt(var + eps)
-        z = z * lnw_ref[0].astype(jnp.float32) \
-            + lnb_ref[0].astype(jnp.float32)
-        z2 = z.astype(cdt).reshape(pt * t, c)
-        # ONE reshape back to (pt, T, 3*inner) so every head is a plain
-        # minor-axis slice, exactly like the standalone _ptc kernel —
-        # a (pt*T, d) -> (pt, T, d) reshape per head costs a VMEM
-        # relayout each (up to 60 at the 20-head ds4 sites; ~0.3 ms
-        # fixed overhead per call in the round-3 in-loop trace)
-        qkv = jax.lax.dot_general(
-            z2, wqkv_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(cdt) \
-            .reshape(pt, t, 3 * inner)
-        outs = []
-        for h in range(heads):
-            qb = qkv[:, :, h * d:(h + 1) * d]
-            kb = qkv[:, :, inner + h * d:inner + (h + 1) * d]
-            vb = qkv[:, :, 2 * inner + h * d:2 * inner + (h + 1) * d]
-            logits = jax.lax.dot_general(
-                qb, kb, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * scale
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp(logits - m)
-            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
-            outs.append(jax.lax.dot_general(
-                probs, vb, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32).astype(cdt))
-        o = jnp.concatenate(outs, axis=-1).reshape(pt * t, inner)
-        y = jax.lax.dot_general(
-            o, wout_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(cdt) \
-            + bout_ref[0]
-        o_ref[0] = xb + y.reshape(pt, t, c)
+        o_ref[0] = _attn_stage(
+            x_ref[0], lnw_ref, lnb_ref, wqkv_ref, wout_ref, bout_ref,
+            pt=pt, t=t, c=c, inner=inner, heads=heads, scale=scale,
+            eps=eps, cdt=cdt)
 
     spec = pl.BlockSpec((1, pt, t, c), lambda bi, pi: (bi, pi, 0, 0))
     return pl.pallas_call(
@@ -305,6 +280,196 @@ def _fused_tattn_call(x, lnw, lnb, wqkv, wout, bout, heads: int,
         interpret=_INTERPRET,
     )(x, lnw.reshape(1, c), lnb.reshape(1, c), wqkv,
       wout, bout.reshape(1, c))
+
+
+# ---------------------------------------------------------------------------
+# Fused temporal attn1+attn2 PAIR kernel.
+#
+# In the UNet's temporal BasicTransformerBlock both attention sub-blocks are
+# self-attention over T with identical geometry (reference
+# `lvdm/modules/attention.py:236-247` — attn2 gets context=None in the
+# TemporalTransformer), and the round-3 in-loop trace shows the two fused
+# sub-block kernels back-to-back on the same activation (attn2.N consumes
+# attn1.N directly, 0.90+0.91 ms at the ds1 sites). Running both stages in
+# one kernel halves the HBM round-trips and grid launches: x crosses HBM
+# once for the whole pair instead of twice.
+# ---------------------------------------------------------------------------
+
+
+def _pair_vmem(pt: int, t: int, c: int, inner: int) -> int:
+    tok = pt * t
+    io = 4 * tok * c * 2
+    w = 2 * (c * 3 * inner + inner * c) * 2      # both stages' weights
+    z = tok * c * 2
+    qkv = tok * 3 * inner * 2
+    o = tok * inner * 2
+    acc = tok * c * 4
+    blk = 128 if (t <= 128 and 128 % t == 0) else t
+    logits = tok * blk * 4 * 2
+    return io + w + z + qkv + o + acc + logits
+
+
+def _pick_ptile_pair(p: int, t: int, c: int, inner: int,
+                     budget: int = 64 * 1024 * 1024) -> int:
+    pref = {(2560, 320): 160, (640, 640): 64}.get((p, c))
+    if pref and p % pref == 0 and _pair_vmem(pref, t, c, inner) <= budget:
+        return pref
+    for blk in (512, 256, 160, 128, 80, 64, 40, 32, 16, 8):
+        if p % blk == 0 and _pair_vmem(blk, t, c, inner) <= budget:
+            return blk
+    return 0
+
+
+def use_pair_kernel(t: int, p: int, d: int, c: int, inner: int) -> bool:
+    """Coverage for the fused attn1+attn2 pair kernel — the fused
+    sub-block conditions with VMEM room for both stages' weights."""
+    return (_PAIR and t <= 32 and d in (64, 128) and p >= 32
+            and c % 64 == 0 and inner % 64 == 0
+            and _pick_ptile_pair(p, t, c, inner) >= 32
+            and (_on_tpu() or _INTERPRET))
+
+
+def _attn_stage(xb, lnw_ref, lnb_ref, wqkv_ref, wout_ref, bout_ref,
+                *, pt, t, c, inner, heads, scale, eps, cdt):
+    """One  x + to_out(T-attention(qkv(ln(x))))  stage on a resident
+    (pt, T, C) tile; shared by the single and pair kernels."""
+    d = inner // heads
+    xf = xb.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean_sq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    z = (xf - mean) * jax.lax.rsqrt(var + eps)
+    z = z * lnw_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+    z2 = z.astype(cdt).reshape(pt * t, c)
+    grp = 128 // t if (t <= 128 and 128 % t == 0) else 0
+    packed = _PACK and grp > 1 and pt % grp == 0
+    nb_, blk = (pt // grp, grp * t) if packed else (pt, t)
+    qkv = jax.lax.dot_general(
+        z2, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(cdt) \
+        .reshape(nb_, blk, 3 * inner)
+    if packed:
+        ri = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+        bd_mask = jnp.where((ri // t) == (ci // t), 0.0,
+                            -1e30).astype(jnp.float32)[None]
+    outs = []
+    for h in range(heads):
+        qb = qkv[:, :, h * d:(h + 1) * d]
+        kb = qkv[:, :, inner + h * d:inner + (h + 1) * d]
+        vb = qkv[:, :, 2 * inner + h * d:2 * inner + (h + 1) * d]
+        logits = jax.lax.dot_general(
+            qb, kb, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        if packed:
+            logits = logits + bd_mask
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
+        outs.append(jax.lax.dot_general(
+            probs, vb, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(cdt))
+    o = jnp.concatenate(outs, axis=-1).reshape(pt * t, inner)
+    y = jax.lax.dot_general(
+        o, wout_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(cdt) + bout_ref[0]
+    return xb + y.reshape(pt, t, c)
+
+
+def _fused_tpair_call(x, p1, p2, heads: int, scale: float, eps: float):
+    """x: (B, P, T, C); p1/p2: (lnw, lnb, wqkv, wout, bout) for the two
+    attention stages. Returns stage2(stage1(x))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, p, t, c = x.shape
+    inner = p1[3].shape[0]
+    pt = _pick_ptile_pair(p, t, c, inner)
+    cdt = x.dtype
+
+    def kernel(x_ref, ln1w, ln1b, wqkv1, wout1, bout1,
+               ln2w, ln2b, wqkv2, wout2, bout2, o_ref):
+        kw = dict(pt=pt, t=t, c=c, inner=inner, heads=heads,
+                  scale=scale, eps=eps, cdt=cdt)
+        y = _attn_stage(x_ref[0], ln1w, ln1b, wqkv1, wout1, bout1, **kw)
+        o_ref[0] = _attn_stage(y, ln2w, ln2b, wqkv2, wout2, bout2, **kw)
+
+    spec = pl.BlockSpec((1, pt, t, c), lambda bi, pi: (bi, pi, 0, 0))
+    vec = pl.BlockSpec((1, c), lambda bi, pi: (0, 0))
+    wspec = [vec, vec,
+             pl.BlockSpec((c, 3 * inner), lambda bi, pi: (0, 0)),
+             pl.BlockSpec((inner, c), lambda bi, pi: (0, 0)),
+             vec]
+    args = []
+    for stage in (p1, p2):
+        lnw, lnb, wqkv, wout, bout = stage
+        args += [lnw.reshape(1, c), lnb.reshape(1, c), wqkv, wout,
+                 bout.reshape(1, c)]
+    return pl.pallas_call(
+        kernel,
+        grid=(b, p // pt),
+        in_specs=[spec] + wspec + wspec,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, p, t, c), cdt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(x, *args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def _fused_tpair(x, ln1w, ln1b, wqkv1, wout1, bout1,
+                 ln2w, ln2b, wqkv2, wout2, bout2, heads, scale, eps):
+    return _fused_tpair_call(x, (ln1w, ln1b, wqkv1, wout1, bout1),
+                             (ln2w, ln2b, wqkv2, wout2, bout2),
+                             heads, scale, eps)
+
+
+def _fused_tpair_fwd(x, ln1w, ln1b, wqkv1, wout1, bout1,
+                     ln2w, ln2b, wqkv2, wout2, bout2, heads, scale, eps):
+    out = _fused_tpair(x, ln1w, ln1b, wqkv1, wout1, bout1,
+                       ln2w, ln2b, wqkv2, wout2, bout2, heads, scale, eps)
+    return out, (x, ln1w, ln1b, wqkv1, wout1, bout1,
+                 ln2w, ln2b, wqkv2, wout2, bout2)
+
+
+def _fused_tpair_bwd(heads, scale, eps, res, g):
+    (x, ln1w, ln1b, wqkv1, wout1, bout1,
+     ln2w, ln2b, wqkv2, wout2, bout2) = res
+
+    def ref(x_, a1w, a1b, q1, o1, b1, a2w, a2b, q2, o2, b2):
+        y = _xla_fused_tattn(x_, a1w, a1b, q1, o1, b1,
+                             heads=heads, scale=scale, eps=eps)
+        return _xla_fused_tattn(y, a2w, a2b, q2, o2, b2,
+                                heads=heads, scale=scale, eps=eps)
+
+    _, vjp = jax.vjp(ref, x, ln1w, ln1b, wqkv1, wout1, bout1,
+                     ln2w, ln2b, wqkv2, wout2, bout2)
+    return vjp(g)
+
+
+_fused_tpair.defvjp(_fused_tpair_fwd, _fused_tpair_bwd)
+
+
+def fused_temporal_attn_pair(x, attn1, attn2, *, heads: int, scale: float,
+                             eps: float = 1e-5):
+    """Both temporal attention sub-blocks of a BasicTransformerBlock in
+    one kernel:
+
+        y  = x + to_out1(ptc_attn(qkv1(ln1(x))))
+        out = y + to_out2(ptc_attn(qkv2(ln2(y))))
+
+    attn1/attn2: (ln, wq, wk, wv, wout, bout) with ln a (weight, bias)
+    pair. Numerically identical to two `fused_temporal_attn` calls;
+    Pallas forward (coverage per `use_pair_kernel`), XLA-recompute
+    backward."""
+    cdt = x.dtype
+    flat = []
+    for ln, wq, wk, wv, wout, bout in (attn1, attn2):
+        wqkv = jnp.concatenate([wq, wk, wv], axis=1).astype(cdt)
+        flat += [ln[0], ln[1], wqkv, wout.astype(cdt), bout.astype(cdt)]
+    return _fused_tpair(x, *flat, heads, scale, eps)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
