@@ -25,6 +25,19 @@ def test_parser_reference_flags():
     assert args.cfg_img == 1.2
 
 
+def test_host_shard_balanced():
+    """Every item is assigned exactly once and shard sizes differ by at
+    most 1 — incl. the n_items < n_proc corner where the old split gave
+    one host everything (ADVICE r3; reference inference.py:314-320 drops
+    the remainder outright)."""
+    for n_items, n_proc in [(10, 4), (3, 8), (8, 8), (0, 4), (7, 1)]:
+        slices = [CLI.host_shard(n_items, p, n_proc) for p in range(n_proc)]
+        covered = [i for s in slices for i in range(n_items)[s]]
+        assert covered == list(range(n_items)), (n_items, n_proc)
+        sizes = [len(range(n_items)[s]) for s in slices]
+        assert max(sizes) - min(sizes) <= 1, (n_items, n_proc, sizes)
+
+
 @pytest.fixture
 def prompt_dir(tmp_path):
     rng = np.random.default_rng(0)

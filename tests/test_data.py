@@ -137,6 +137,35 @@ def test_prefetch_loader_multihost_sharding():
         PrefetchLoader(IdxDataset(), batch_size=4, shard=(4, 4))
 
 
+def test_prefetch_loader_sharding_equal_batch_count():
+    """When len(ds) % shard_count != 0, every host must still yield the
+    SAME number of batches per epoch — a host that ends one step early
+    leaves the others blocked in the next collective (the reference's
+    DistributedSampler pads ranks for the same reason). ADVICE r3."""
+    from tooncrafter_tpu.data.webvid import PrefetchLoader
+
+    class IdxDataset:
+        def __len__(self):
+            return 67  # 67 % 4 == 3: naive striding gives shards 17,17,17,16
+
+        def __getitem__(self, i):
+            return {"video": np.full((1, 1, 1, 3), i, np.float32),
+                    "frame_stride": np.int32(1), "fps": np.float32(8),
+                    "caption": ""}
+
+    n_hosts = 4
+    counts, rows_all = [], []
+    for host in range(n_hosts):
+        loader = PrefetchLoader(IdxDataset(), batch_size=4, num_workers=1,
+                                seed=7, shard=(host, n_hosts))
+        batches = list(loader)
+        counts.append(len(batches))
+        rows_all += [int(v) for b in batches
+                     for v in b["video"][:, 0, 0, 0, 0]]
+    assert len(set(counts)) == 1, f"hosts desync: {counts} batches/epoch"
+    assert len(set(rows_all)) == len(rows_all), "shards must stay disjoint"
+
+
 def test_prefetch_loader_batches(video_dir):
     from tooncrafter_tpu.data.webvid import PrefetchLoader, WebVidDataset
 

@@ -95,11 +95,11 @@ def host_shard(n_items: int, pid: int, n_proc: int) -> slice:
 
     The reference drops the remainder when n_items % n_proc != 0
     (inference.py:314-320, `num_samples // gpu_num` on every rank) — here
-    the last host takes the remainder instead so no prompt is silently
-    skipped (VERDICT r2 weak #5)."""
-    share = n_items // n_proc
-    lo = pid * share
-    hi = n_items if pid == n_proc - 1 else lo + share
+    the remainder is spread over the first (n_items % n_proc) hosts so no
+    prompt is skipped and no single host absorbs up to n_proc-1 extras."""
+    share, rem = divmod(n_items, n_proc)
+    lo = pid * share + min(pid, rem)
+    hi = lo + share + (1 if pid < rem else 0)
     return slice(lo, hi)
 
 

@@ -163,7 +163,16 @@ class PrefetchLoader:
         random.Random(f"{self.seed}:{self._epoch}").shuffle(order)
         self._epoch += 1
         if self.shard_count > 1:
-            order = order[self.shard_index::self.shard_count]
+            # Truncate every shard to the common length so all hosts yield
+            # the SAME number of batches per epoch. A strided slice alone
+            # leaves shards whose sizes differ by 1 when len(ds) is not a
+            # multiple of shard_count, and with per-host drop_last batching
+            # a short host ends its epoch one step early — the other hosts
+            # then block forever in the next collective (the reference's
+            # DistributedSampler pads ranks to equal length for the same
+            # reason).
+            common = len(order) // self.shard_count
+            order = order[self.shard_index::self.shard_count][:common]
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         lock = threading.Lock()

@@ -801,9 +801,6 @@ class UNetModel(nn.Module):
                 shared[0] = False
             return h, st
 
-        def widen(h):
-            return widen_pair(h, None)[0]
-
         # ---- time + fps embedding, broadcast per frame ----
         t_emb = timestep_embedding(timesteps, mc).astype(self.dtype)
         emb = nn.Dense(ted, dtype=self.dtype, name="time_embed_0")(t_emb)
