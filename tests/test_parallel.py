@@ -70,6 +70,48 @@ def test_sharded_train_step_runs():
     assert int(state3.step) == 2
 
 
+def test_sharded_train_step_logvar_vlb():
+    """learn_logvar + original_elbo_weight on the 8-device mesh: the
+    (1000,) logvar buffer is a trainable param that crosses the ZeRO
+    partition rule — it must replicate/shard cleanly AND receive updates
+    under the sharded step (VERDICT r3 next-step #8; reference
+    ddpm3d.py:775-794,1208-1240)."""
+    cfg = ModelConfig().tiny(learn_logvar=True, original_elbo_weight=1e-2,
+                             logvar_init=0.0)
+    model = ToonCrafter(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tcfg = T.TrainConfig(learning_rate=1e-3)
+    state, opt = T.make_train_state(model, params, tcfg, use_ema=False)
+    assert "logvar" in state.train_params, "logvar must be trainable"
+
+    m = M.make_mesh(n_data=4, n_model=2)
+    b, t = 4, cfg.video_length
+    h_px, w_px = cfg.latent_h * 8, cfg.latent_w * 8
+    batch = {
+        "video": jax.random.uniform(jax.random.PRNGKey(1),
+                                    (b, t, h_px, w_px, 3), minval=-1,
+                                    maxval=1),
+        "tokens": jnp.zeros((b, 77), jnp.int32),
+        "null_tokens": jnp.zeros((b, 77), jnp.int32),
+        "fs": jnp.full((b,), 10, jnp.int32),
+    }
+    batch = jax.device_put(batch, M.batch_sharding(m))
+    step = jax.jit(T.make_train_step(model, opt, tcfg))
+    state2, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_vlb"]))
+    assert np.isfinite(float(metrics["loss_gamma"]))
+    lv0 = np.asarray(state.train_params["logvar"]["logvar"])
+    lv1 = np.asarray(state2.train_params["logvar"]["logvar"])
+    assert lv1.shape == (cfg.timesteps,)
+    # only the drawn timesteps receive gradient; at b=4 at most 4 rows move
+    moved = np.flatnonzero(lv0 != lv1)
+    assert 1 <= moved.size <= b, f"logvar rows moved: {moved.size}"
+    # a second step executes the same compiled graph (sharding stable)
+    state3, _ = step(state2, batch, jax.random.PRNGKey(3))
+    assert int(state3.step) == 2
+
+
 def test_ema_warmup_decay():
     ema = {"w": jnp.zeros((2,))}
     new = {"w": jnp.ones((2,))}
