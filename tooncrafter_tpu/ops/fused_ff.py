@@ -14,10 +14,14 @@ streams token tiles through VMEM: the wide intermediate never touches
 HBM, weights stay resident across the grid, and x / y cross HBM exactly
 once — traffic per ds1 FF site drops from ~1 GB to ~107 MB.
 
-The inner dim is processed in chunks of <=1280 columns (h-half and
-gate-half sliced from the same resident w1) with a float32 accumulator
-for the out-GEMM, so the per-tile VMEM footprint stays bounded at
-C=640. At C=1280 (ds4) the weights alone (39 MB) exceed VMEM, so a
+The inner dim is processed in chunks of <=1280 columns with a float32
+accumulator for the out-GEMM, so the per-tile VMEM footprint stays
+bounded at C=640. w1's columns are pre-interleaved per chunk
+([h0|g0|h1|g1|...], `_hg_reorder`) so each chunk is ONE N=2*dk proj
+dot followed by two register-aligned f32 slices instead of two N=dk
+dots — measured -5/-7/-6% at ds1/ds2/ds4 (tools/bench_ff8.py `hgm`,
+.audit_r04.jsonl; manual software pipelining and shorter erf polys
+were neutral-to-negative in the same sweep). At C=1280 (ds4) the weights alone (39 MB) exceed VMEM, so a
 second, streamed variant runs a 2-D grid (token tiles x inner chunks):
 weight chunks are streamed from HBM per grid step while the output
 tile accumulates in VMEM — weights cross HBM once per token tile, and
@@ -168,6 +172,23 @@ def _gelu_exact_f32(x):
     return 0.5 * x * (1.0 + _erf_f32(x * 0.7071067811865476))
 
 
+def _hg_reorder(w1, b1, d: int, dk: int):
+    """(C, 2D) [h | g] halves -> chunk-interleaved [h0|g0|h1|g1|...]
+    so the kernels read one contiguous (C, 2*dk) column block per
+    chunk. Loop-invariant in the sampling scan (LICM hoists it); the
+    kernels slice h/g back out of the f32 proj output at aligned
+    offsets."""
+    c = w1.shape[0]
+    n_chunks = d // dk
+    wh = w1[:, :d].reshape(c, n_chunks, 1, dk)
+    wg = w1[:, d:].reshape(c, n_chunks, 1, dk)
+    w = jnp.concatenate([wh, wg], 2).reshape(c, 2 * d)
+    bh = b1[:, :d].reshape(1, n_chunks, 1, dk)
+    bg = b1[:, d:].reshape(1, n_chunks, 1, dk)
+    b = jnp.concatenate([bh, bg], 2).reshape(1, 2 * d)
+    return w, b
+
+
 def _ln_tile(xt, lnw_ref, lnb_ref, eps):
     """In-register LayerNorm over the minor axis of a token tile;
     f32 math identical to ops/norms.LayerNorm."""
@@ -208,15 +229,16 @@ def _pallas_ff(x2, w1, b1, w2, b2, lnw, lnb, eps, residual=False):
         acc = jnp.zeros((tn, cout), jnp.float32)
         for j in range(n_chunks):
             lo, hi = j * dk, (j + 1) * dk
-            h = jax.lax.dot_general(
-                xt, w1_ref[:, lo:hi], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            g = jax.lax.dot_general(
-                xt, w1_ref[:, d + lo:d + hi], (((1,), (0,)), ((), ())),
+            # one N=2*dk dot per chunk (w1 chunk-interleaved by
+            # _hg_reorder); h/g come back as aligned f32 slices
+            hg = jax.lax.dot_general(
+                xt, w1_ref[:, 2 * lo:2 * hi], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             # f32 bias + gate; only the product rounds to compute dtype
-            h = h + b1_ref[0, lo:hi].astype(jnp.float32)
-            g = g + b1_ref[0, d + lo:d + hi].astype(jnp.float32)
+            h = hg[:, :dk] + b1_ref[0, 2 * lo:2 * lo + dk].astype(
+                jnp.float32)
+            g = hg[:, dk:] + b1_ref[0, 2 * lo + dk:2 * hi].astype(
+                jnp.float32)
             m = (h * _gelu_exact_f32(g)).astype(cdt)
             acc = acc + jax.lax.dot_general(
                 m, w2_ref[lo:hi, :], (((1,), (0,)), ((), ())),
@@ -224,6 +246,7 @@ def _pallas_ff(x2, w1, b1, w2, b2, lnw, lnb, eps, residual=False):
         y = acc.astype(cdt) + b2_ref[0]
         o_ref[...] = y + xr if residual else y
 
+    w1r, b1r = _hg_reorder(w1, b1, d, dk)
     in_specs = [
         pl.BlockSpec((tn, c), lambda i: (i, 0)),
         pl.BlockSpec((c, 2 * d), lambda i: (0, 0)),
@@ -231,7 +254,7 @@ def _pallas_ff(x2, w1, b1, w2, b2, lnw, lnb, eps, residual=False):
         pl.BlockSpec((d, cout), lambda i: (0, 0)),
         pl.BlockSpec((1, cout), lambda i: (0, 0)),
     ]
-    args = [x2, w1, b1, w2, b2]
+    args = [x2, w1r, b1r, w2, b2]
     if has_ln:
         in_specs += [pl.BlockSpec((1, c), lambda i: (0, 0)),
                      pl.BlockSpec((1, c), lambda i: (0, 0))]
@@ -253,9 +276,10 @@ def _pallas_ff_streamed(x2, w1, b1, w2, b2, lnw, lnb, eps,
                         residual=False):
     """Streamed-weights variant for widths whose weights exceed VMEM
     (ds4, C=1280, |w| = 39 MB): 2-D grid over (token tiles, inner
-    chunks). w1's h-half and gate-half are the same array bound twice
-    with different block index maps; the output tile accumulates in a
-    VMEM scratch across the chunk axis and is written once."""
+    chunks). w1 is chunk-interleaved (`_hg_reorder`) so each grid step
+    streams ONE contiguous [h_j | g_j] column block; the output tile
+    accumulates in a VMEM scratch across the chunk axis and is written
+    once."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -267,8 +291,7 @@ def _pallas_ff_streamed(x2, w1, b1, w2, b2, lnw, lnb, eps,
     has_ln = lnw is not None
     assert not residual or (has_ln and cout == c)
 
-    def kernel(x_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref, w2_ref, b2_ref,
-               *rest):
+    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest):
         o_ref, acc_ref = rest[-2], rest[-1]
         j = pl.program_id(1)
 
@@ -279,14 +302,11 @@ def _pallas_ff_streamed(x2, w1, b1, w2, b2, lnw, lnb, eps,
         xt = x_ref[...]
         if has_ln:
             xt = _ln_tile(xt, rest[0], rest[1], eps)
-        h = jax.lax.dot_general(
-            xt, w1h_ref[...], (((1,), (0,)), ((), ())),
+        hg = jax.lax.dot_general(
+            xt, w1_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        g = jax.lax.dot_general(
-            xt, w1g_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        h = h + b1h_ref[0].astype(jnp.float32)
-        g = g + b1g_ref[0].astype(jnp.float32)
+        h = hg[:, :dk] + b1_ref[0, :dk].astype(jnp.float32)
+        g = hg[:, dk:] + b1_ref[0, dk:].astype(jnp.float32)
         m = (h * _gelu_exact_f32(g)).astype(cdt)
         acc_ref[:] += jax.lax.dot_general(
             m, w2_ref[...], (((1,), (0,)), ((), ())),
@@ -297,17 +317,15 @@ def _pallas_ff_streamed(x2, w1, b1, w2, b2, lnw, lnb, eps,
             y = acc_ref[:].astype(cdt) + b2_ref[0]
             o_ref[...] = y + x_ref[...] if residual else y
 
-    nck = n_chunks  # closure-stable for index maps
+    w1r, b1r = _hg_reorder(w1, b1, d, dk)
     in_specs = [
         pl.BlockSpec((tn, c), lambda i, j: (i, 0)),
-        pl.BlockSpec((c, dk), lambda i, j: (0, j)),              # w1 h half
-        pl.BlockSpec((c, dk), lambda i, j, n_=nck: (0, n_ + j)),  # w1 gate
-        pl.BlockSpec((1, dk), lambda i, j: (0, j)),
-        pl.BlockSpec((1, dk), lambda i, j, n_=nck: (0, n_ + j)),
+        pl.BlockSpec((c, 2 * dk), lambda i, j: (0, j)),   # [h_j | g_j]
+        pl.BlockSpec((1, 2 * dk), lambda i, j: (0, j)),
         pl.BlockSpec((dk, cout), lambda i, j: (j, 0)),
         pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
     ]
-    args = [x2, w1, w1, b1, b1, w2, b2]
+    args = [x2, w1r, b1r, w2, b2]
     if has_ln:
         in_specs += [pl.BlockSpec((1, c), lambda i, j: (0, 0)),
                      pl.BlockSpec((1, c), lambda i, j: (0, 0))]
