@@ -302,7 +302,7 @@ def _single_pass_blk(sq: int, sk: int, d: int) -> int:
         if sq % bq:
             continue
         score = bq * sk * 4 + bq * sk * 2          # s f32 + p bf16
-        kv = 2 * sk * d * 2 * 2                    # k + v, double-buffered
+        kv = 3 * sk * d * 2 * 2                    # k + 2d-wide v, db
         io = 2 * (bq * d * 2) * 2 + bq * d * 4     # q/out db + f32 acc
         if score + kv + io <= 60 * 1024 * 1024:
             return bq
@@ -323,6 +323,9 @@ def _flash_bh_single(q, k, v, scale: float, blk_q: int):
     sk = k.shape[1]
     n_q = sq // blk_q
     s2 = scale * _LOG2E
+    # onescol (see _flash_bh_with_lse): the PV dot's idle output lanes
+    # emit the row-sum, killing the (blk_q, Sk) lane-sum reduction
+    v = jnp.concatenate([v, jnp.ones((bh, sk, d), v.dtype)], axis=-1)
 
     def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
         qb = q_ref[0]
@@ -333,12 +336,11 @@ def _flash_bh_single(q, k, v, scale: float, blk_q: int):
             preferred_element_type=jnp.float32) * s2
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
         acc = jax.lax.dot_general(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0] = (acc / l).astype(o_ref.dtype)
-        lse_ref[0] = (m + jnp.log2(l)) * _LN2
+            preferred_element_type=jnp.float32)   # [p@v | rowsum(p)]
+        o_ref[0] = (acc[:, :d] / acc[:, d:]).astype(o_ref.dtype)
+        lse_ref[0] = (m + jnp.log2(acc[:, d:d + 1])) * _LN2
 
     return pl.pallas_call(
         kernel,
@@ -346,7 +348,7 @@ def _flash_bh_single(q, k, v, scale: float, blk_q: int):
         in_specs=[
             pl.BlockSpec((1, blk_q, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, sk, 2 * d), lambda b, i: (b, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, blk_q, d), lambda b, i: (b, i, 0)),
@@ -622,6 +624,15 @@ def _flash_bh_with_lse(q, k, v, scale: float):
     if bq_single:
         return _flash_bh_single(q, k, v, scale, bq_single)
     blk_q, blk_k = _pick_fwd_blocks(sq, sk)
+    # `onescol`: pad V with a d-wide block of ONES so the PV dot's
+    # otherwise-idle output lanes (N=64 of the MXU's 128) emit the
+    # softmax row-sum for free — the per-half f32 lane-sum reduction
+    # over (blk_q, blk_k) disappears and acc/l unify into one
+    # (blk_q, 2d) accumulator updated elementwise (no lane extracts).
+    # l now sums the SAME bf16-rounded p the PV dot consumes (f32
+    # accumulate). A/B at the dual-ref inject_2 site (8, 163840x20480):
+    # 101.1 -> 89.7 ms (tools/bench_flash5.py, .audit_r04.jsonl).
+    v = jnp.concatenate([v, jnp.ones((bh, sk, d), v.dtype)], axis=-1)
     # Process several K half-blocks per grid step with a JOINT
     # running-max update: one K block per step serializes the
     # QK (MXU) -> softmax (VPU) -> PV (MXU) chain across the sweep;
@@ -640,14 +651,13 @@ def _flash_bh_with_lse(q, k, v, scale: float):
     n_k = pl.cdiv(sk, step_k)
     s2 = scale * _LOG2E  # exp2-domain softmax: exponent is a bare exp2
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref):
+    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref):
         kv_i = pl.program_id(2)
 
         @pl.when(kv_i == 0)
         def _init():
             acc_ref[:] = jnp.zeros_like(acc_ref)
             m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
-            l_ref[:] = jnp.zeros_like(l_ref)
 
         qb = q_ref[0]            # (blk_q, d)
         ss = []
@@ -664,25 +674,24 @@ def _flash_bh_with_lse(q, k, v, scale: float):
             m_cur = jnp.maximum(m_cur, jnp.max(s, axis=-1, keepdims=True))
         m_new = jnp.maximum(m_prev[:, :1], m_cur)
         correction = jnp.exp2(m_prev[:, :1] - m_new)
-        l_new = correction * l_ref[:, :1]
         pv = None
         for h, s in enumerate(ss):
             p = jnp.exp2(s - m_new)                  # (blk_q, blk_k)
-            l_new = l_new + jnp.sum(p, axis=-1, keepdims=True)
-            vb = v_ref[0, h * blk_k:(h + 1) * blk_k]
+            vb = v_ref[0, h * blk_k:(h + 1) * blk_k]  # (blk_k, 2d) w/ ones
             t = jax.lax.dot_general(
                 p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            )                     # (blk_q, 2d): [p@v | rowsum(p)]
             pv = t if pv is None else pv + t
         acc_ref[:] = acc_ref[:] * correction + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
         @pl.when(kv_i == n_k - 1)
         def _finish():
-            o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
-            lse_ref[0] = (m_ref[:, :1] + jnp.log2(l_ref[:, :1])) * _LN2
+            a = acc_ref[:]
+            o_ref[0] = (a[:, :d] / a[:, d:]).astype(o_ref.dtype)
+            lse_ref[0] = (m_ref[:, :1]
+                          + jnp.log2(a[:, d:d + 1])) * _LN2
 
     grid = (bh, n_q, n_k)
     out, lse = pl.pallas_call(
@@ -691,7 +700,7 @@ def _flash_bh_with_lse(q, k, v, scale: float):
         in_specs=[
             pl.BlockSpec((1, blk_q, d), lambda b_, i, j: (b_, i, 0)),
             pl.BlockSpec((1, step_k, d), lambda b_, i, j: (b_, j, 0)),
-            pl.BlockSpec((1, step_k, d), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, step_k, 2 * d), lambda b_, i, j: (b_, j, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, blk_q, d), lambda b_, i, j: (b_, i, 0)),
@@ -702,8 +711,7 @@ def _flash_bh_with_lse(q, k, v, scale: float):
             jax.ShapeDtypeStruct((bh, sq, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((blk_q, d), jnp.float32),
-            pltpu.VMEM((blk_q, 128), jnp.float32),
+            pltpu.VMEM((blk_q, 2 * d), jnp.float32),
             pltpu.VMEM((blk_q, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
