@@ -14,8 +14,12 @@ Usage: python tools/bench_1024.py [--steps 50]
 
 import argparse
 import json
+import os as _os
 import sys
 import time
+
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
