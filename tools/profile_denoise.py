@@ -29,13 +29,21 @@ def main():
     p.add_argument("--logdir", default="/tmp/denoise_profile")
     p.add_argument("--hlo", default=None,
                    help="dump the optimized loop HLO text here")
+    p.add_argument("--latent", default=None,
+                   help="HxW latent geometry override, e.g. 72x128 "
+                        "(the 576x1024 interpolation model)")
     args = p.parse_args()
 
     from tooncrafter_tpu.models.diffusion import ModelConfig, ToonCrafter
     from tooncrafter_tpu.sampling.ddim import GuidanceConfig
     from tooncrafter_tpu.utils.synth import synth_params
 
-    cfg = ModelConfig(compute_dtype=jnp.bfloat16)
+    if args.latent:
+        lh_, lw_ = (int(v) for v in args.latent.split("x"))
+        cfg = ModelConfig(latent_h=lh_, latent_w=lw_,
+                          compute_dtype=jnp.bfloat16)
+    else:
+        cfg = ModelConfig(compute_dtype=jnp.bfloat16)
     model = ToonCrafter(cfg)
     shapes = model.param_shapes()
     params = synth_params({"unet": shapes["unet"]})
