@@ -221,7 +221,11 @@ def main():
             (40, 64, 320, 320, 1, 0, (10, 5, 4)),
             (40, 64, 640, 320, 1, 0, (10, 5, 4)),
             (20, 32, 640, 640, 2, 0, (0,)),
-            (10, 16, 1280, 1280, 8, 640, (0,))]:
+            (20, 32, 1280, 640, 2, 0, (0,)),
+            (10, 16, 1280, 1280, 8, 640, (0,)),
+            # 576x1024-model geometry (72x128 latents)
+            (36, 64, 640, 640, 1, 0, (0, 9, 3)),
+            (18, 32, 1280, 1280, 2, 640, (0,))]:
         if args.only and args.only not in f"{h}x{w}x{cin}->{cout}":
             continue
         n = 32
