@@ -106,9 +106,13 @@ def test_packed_picker_envelope():
     assert fa._mh_blk(2560, 2560, 320, 5) > 0
     assert fa._mh_blk(640, 640, 640, 10) > 0
     assert fa._mh_blk(160, 160, 1280, 20) > 0
+    # the 1024-model ds1 site (S=9216) is in the envelope since the
+    # round-4 sweep (bq=256 beat the two-pass fallback); beyond it
+    # falls back
+    assert fa._mh_blk(9216, 9216, 320, 5) == 256
     # non-64 head dim or huge KV fall back
     assert fa._mh_blk(2560, 2560, 320, 4) == 0
-    assert fa._mh_blk(8192, 8192, 320, 5) == 0
+    assert fa._mh_blk(10240, 10240, 320, 5) == 0
     # cross-attention (sq != sk) is outside the measured envelope
     assert fa._mh_blk(2560, 77, 320, 5) == 0
     assert fa._mh_blk(2560, 256, 320, 5) == 0

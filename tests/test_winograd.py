@@ -121,3 +121,62 @@ def test_transform_kernel_identity():
     y = jnp.einsum("ia,jb,nijk->nabk", A, A, mw)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# F(2x4, 3x3) variant (winograd24_gn_silu_conv3x3): 3x multiply
+# reduction, fp32 input transforms (the F(4,3) combos carry 4/5/2
+# coefficients). Same contract, same test harness.
+# ---------------------------------------------------------------------------
+
+
+def _run24(key, n, h, w, cin, cout, *, use_res, silu, stats, entry,
+           monkeypatch, tol):
+    x, scale, bias, kernel, cbias, res = _mats(key, n, h, w, cin, cout)
+    a, b = gn_affine(x, scale, bias, num_groups=32, eps=1e-5)
+    r = res if use_res else None
+    ref = sc._xla_impl(x, a, b, kernel, cbias, r, silu, stats)
+    monkeypatch.setitem(wg._TABLE24, (h, w, cin, cout), entry)
+    monkeypatch.setattr(wg, "_INTERPRET", True)
+    got = wg.winograd24_gn_silu_conv3x3(x, a, b, kernel, cbias, r, silu,
+                                        stats)
+    if stats:
+        got, s1, s2 = got
+        ref, r1, r2 = ref
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(r1),
+                                   atol=tol * h * w, rtol=tol)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(r2),
+                                   atol=tol * h * w * 10, rtol=tol)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=tol, rtol=tol)
+
+
+@pytest.mark.parametrize("use_res", [False, True])
+@pytest.mark.parametrize("f32t", [False, True])
+def test_f24_small_shape_parity(use_res, f32t, monkeypatch):
+    _run24(jax.random.PRNGKey(10), 4, 8, 8, 128, 128, use_res=use_res,
+           silu=True, stats=False, entry=(2, 0, f32t, 0),
+           monkeypatch=monkeypatch, tol=2e-4)
+
+
+def test_f24_stats_no_silu_ktiled(monkeypatch):
+    _run24(jax.random.PRNGKey(11), 2, 8, 8, 256, 128, use_res=True,
+           silu=False, stats=True, entry=(2, 0, False, 128),
+           monkeypatch=monkeypatch, tol=2e-4)
+
+
+def test_f24_ct_tiled(monkeypatch):
+    _run24(jax.random.PRNGKey(12), 2, 10, 16, 256, 256, use_res=True,
+           silu=True, stats=True, entry=(2, 128, True, 0),
+           monkeypatch=monkeypatch, tol=2e-4)
+
+
+def test_f24_dispatch_geometry_gates(monkeypatch):
+    monkeypatch.setitem(wg._TABLE24, (10, 18, 128, 128), (1, 0, False, 0))
+    monkeypatch.setattr(wg, "_WINOGRAD24", True)
+    # w % 4 != 0 -> not taken even if a table entry exists
+    assert wg.table_entry24(10, 18, 128, 128) is None
+    monkeypatch.setitem(wg._TABLE24, (10, 16, 128, 128), (1, 0, False, 0))
+    assert wg.table_entry24(10, 16, 128, 128)
+    monkeypatch.setattr(wg, "_WINOGRAD24", False)
+    assert wg.table_entry24(10, 16, 128, 128) is None

@@ -51,10 +51,13 @@ def main():
         x = jax.random.normal(ks[0], (b, p, t, c), jnp.bfloat16)
         mkw = lambda i, m, n_: (jax.random.normal(ks[i], (m, n_)) * 0.05) \
             .astype(jnp.float32)
-        p1 = (mkw(1, c, c), mkw(2, 1, c)[0], mkw(3, c, 3 * inner),
-              mkw(4, inner, c), mkw(5, 1, c)[0])
-        p2 = (mkw(6, c, c), mkw(7, 1, c)[0], mkw(8, c, 3 * inner),
-              mkw(9, inner, c), mkw(10, 1, c)[0])
+        bf = jnp.bfloat16
+        p1 = (mkw(1, 1, c)[0], mkw(2, 1, c)[0],
+              mkw(3, c, 3 * inner).astype(bf),
+              mkw(4, inner, c).astype(bf), mkw(5, 1, c)[0].astype(bf))
+        p2 = (mkw(6, 1, c)[0], mkw(7, 1, c)[0],
+              mkw(8, c, 3 * inner).astype(bf),
+              mkw(9, inner, c).astype(bf), mkw(10, 1, c)[0].astype(bf))
         # (lnw, lnb, wqkv, wout, bout) per stage
         gf = 2 * (2 * (b * p * t * c * 3 * inner + b * p * t * inner * c)
                   + 2 * b * p * heads * t * t * d * 2) / 1e9

@@ -377,9 +377,18 @@ def _mh_blk(sq: int, sk: int, c: int, heads: int) -> int:
     kernel than XLA's fused einsum (tools/bench_cross_mh.py) — tiny
     per-head score matmuls starve the MXU there.
     """
-    if sq != sk or c % heads or c // heads != 64 or sk > 4096:
+    if sq != sk or c % heads or c // heads != 64 or sk > 9216:
         return 0
-    for bq in (512, 320, 256, 160, 128):
+    if sk > 4096:
+        # 1024-model ds1 self-attn (S=9216, C=320): swept at the real
+        # shape (tools/bench_attn1_1024.py) — bq=256 beats 128/384/512
+        # AND the two-pass per-(bh) fallback (48.3 vs 52.4 ms/call),
+        # and the token-major path drops the fold/unfold transposes.
+        # The resident-KV VMEM check below still gates the fit.
+        order = (256, 128)
+    else:
+        order = (512, 320, 256, 160, 128)
+    for bq in order:
         if sq % bq:
             continue
         score = 2 * bq * sk * 4 + bq * sk * 2     # ~2 live f32 tiles + p

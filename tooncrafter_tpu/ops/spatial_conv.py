@@ -372,10 +372,15 @@ def _impl(x, a, b, kernel, bias, res, silu: bool, stats: bool):
     from tooncrafter_tpu.ops import winograd
 
     n, h, w, cin = x.shape
-    if (_on_tpu() or winograd._INTERPRET) \
-            and winograd.table_entry(h, w, cin, kernel.shape[-1]):
-        return winograd.winograd_gn_silu_conv3x3(
-            x, a, b, kernel, bias, res, silu, stats)
+    if _on_tpu() or winograd._INTERPRET:
+        # F(2x4) allowlist outranks F(2x2) (strictly fewer MXU flops;
+        # only entered where it measured faster than both XLA and F(2x2))
+        if winograd.table_entry24(h, w, cin, kernel.shape[-1]):
+            return winograd.winograd24_gn_silu_conv3x3(
+                x, a, b, kernel, bias, res, silu, stats)
+        if winograd.table_entry(h, w, cin, kernel.shape[-1]):
+            return winograd.winograd_gn_silu_conv3x3(
+                x, a, b, kernel, bias, res, silu, stats)
     if _use_kernel(h, w, cin, kernel.shape[-1]):
         return _pallas_fused_conv(x, a, b, kernel, bias, res, silu, stats)
     return _xla_impl(x, a, b, kernel, bias, res, silu, stats)

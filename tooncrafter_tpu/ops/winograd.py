@@ -293,3 +293,245 @@ def winograd_gn_silu_conv3x3(x, a, b, kernel, bias, res, silu: bool,
         y, s1, s2 = out
         return y, s1.reshape(n, cout), s2.reshape(n, cout)
     return out
+
+
+# ---------------------------------------------------------------------------
+# F(2x4, 3x3): mixed-tile Winograd — F(2,3) along H, F(4,3) along W.
+#
+# Each 2x4 output tile needs a 4x6 input tile = 24 transformed components
+# and 24 (tiles, Cin)@(Cin, Cout) dots vs 72 direct multiplies: 3x fewer
+# MXU flops per output (F(2x2) gives 2.25x). The W-side transforms carry
+# small-integer coefficients (4, 5, 2 — Lavin's F(4,3) matrices) instead
+# of pure +/-, so components amplify inputs by up to ~10x; the input
+# transform therefore runs in fp32 (z is fp32 out of the normalize
+# anyway) and casts each component once, and the allowlist records the
+# measured max|delta| per shape before adoption (same bar as F(2x2):
+# the bf16-conv-rounding order).
+# ---------------------------------------------------------------------------
+
+# F(4,3) weight transform (6, 3)
+_G4 = np.array([[1 / 4, 0, 0],
+                [-1 / 6, -1 / 6, -1 / 6],
+                [-1 / 6, 1 / 6, -1 / 6],
+                [1 / 24, 1 / 12, 1 / 6],
+                [1 / 24, -1 / 12, 1 / 6],
+                [0, 0, 1.0]])
+
+# (24, 9) tap-combination matrix: rows ordered (i, j) = i * 6 + j with
+# i the F(2,3) H component (via _G) and j the F(4,3) W component.
+_M24 = np.einsum("ia,jb->ijab", _G, _G4).reshape(24, 9)
+
+# Measured allowlist, same value tuple as _TABLE: (nb, ct, f32t, ck).
+# Populated only where the TPU A/B beat BOTH XLA and the F(2x2) entry
+# (tools/bench_winograd24.py); consulted before _TABLE by spatial_conv.
+_TABLE24 = {}
+
+_WINOGRAD24 = os.environ.get("TC_WINOGRAD24", "1") != "0"
+
+
+def table_entry24(h: int, w: int, cin: int, cout: int):
+    if not (_WINOGRAD24 and (_WINOGRAD or _INTERPRET)):
+        return None
+    if h % 2 or w % 4:
+        return None
+    return _TABLE24.get((h, w, cin, cout))
+
+
+def transform_kernel24(kernel):
+    """(3,3,Cin,Cout) -> (24, Cin, Cout) via one (24,9) @ (9, Cin*Cout)
+    matmul (see transform_kernel for why this form)."""
+    c, co = kernel.shape[2], kernel.shape[3]
+    g = kernel.astype(jnp.float32).reshape(9, c * co)
+    return (jnp.asarray(_M24) @ g).reshape(24, c, co)
+
+
+def winograd24_gn_silu_conv3x3(x, a, b, kernel, bias, res, silu: bool,
+                               stats: bool):
+    """F(2x4) twin of winograd_gn_silu_conv3x3 (same contract; caller
+    must have checked table_entry24)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, c = x.shape
+    cout = kernel.shape[-1]
+    nb, ct, f32t, ck = _TABLE24[(h, w, c, cout)]
+    while n % nb:
+        nb //= 2
+    ct = ct or cout
+    ck = ck or c
+    n_ct = cout // ct
+    n_ck = c // ck
+    th, tw4 = h // 2, w // 4
+    nt = nb * th * tw4
+    tdt = jnp.float32 if f32t else x.dtype
+    residual = res is not None
+    if not residual:
+        res = jnp.zeros((1, 1, 1, ct), x.dtype)
+    wt = transform_kernel24(kernel).astype(x.dtype)
+
+    def transform_in(zp):
+        """(h+2, w+4, ck) fp32 padded slab -> 24 x (th*tw4, ck) tdt
+        components, ordered i*6+j (i = H comp, j = W comp)."""
+        A = zp[0:h].reshape(th, 2, w + 4, ck)
+        B = zp[2:h + 2].reshape(th, 2, w + 4, ck)
+        d0, d1 = A[:, 0], A[:, 1]
+        d2, d3 = B[:, 0], B[:, 1]
+        t = [d0 - d2, d1 + d2, d2 - d1, d1 - d3]   # F(2,3) rows
+        u = []
+        for ti in t:
+            E = ti[:, 0:w].reshape(th, tw4, 4 * ck)
+            F = ti[:, 4:w + 4].reshape(th, tw4, 4 * ck)
+            e0, e1 = E[..., :ck], E[..., ck:2 * ck]
+            e2, e3 = E[..., 2 * ck:3 * ck], E[..., 3 * ck:]
+            f0, f1 = F[..., :ck], F[..., ck:2 * ck]
+            # B^T rows of F(4,3) applied to taps [e0..e3, f0, f1]
+            u += [4.0 * e0 - 5.0 * e2 + f0,
+                  -4.0 * (e1 + e2) + e3 + f0,
+                  4.0 * e1 - 4.0 * e2 - e3 + f0,
+                  -2.0 * e1 - e2 + 2.0 * e3 + f0,
+                  2.0 * e1 - e2 - 2.0 * e3 + f0,
+                  4.0 * e1 - 5.0 * e3 + f1]
+        return [ui.reshape(th * tw4, ck).astype(tdt) for ui in u]
+
+    def tile_dots(x_ref, a_ref, b_ref, w_ref, i):
+        us_all = []
+        for s in range(nb):
+            z = x_ref[s].astype(jnp.float32) \
+                * a_ref[i * nb + s][None] + b_ref[i * nb + s][None]
+            if silu:
+                z = z * jax.nn.sigmoid(z)
+            zp = jnp.pad(z, ((1, 1), (1, 3), (0, 0)))
+            us_all.append(transform_in(zp))
+        us = [jnp.concatenate(parts, 0) for parts in zip(*us_all)] \
+            if nb > 1 else us_all[0]
+        m = [jax.lax.dot_general(
+                us[j], w_ref[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+             for j in range(24)]                   # (nt, ct) f32
+        ys = []
+        for vt in ([m[j] + m[6 + j] + m[12 + j] for j in range(6)],
+                   [m[6 + j] - m[12 + j] - m[18 + j] for j in range(6)]):
+            sm, df = vt[1] + vt[2], vt[1] - vt[2]
+            sp, dq = vt[3] + vt[4], vt[3] - vt[4]
+            ys += [vt[0] + sm + sp,
+                   df + 2.0 * dq,
+                   sm + 4.0 * sp,
+                   df + 8.0 * dq + vt[5]]
+        return tuple(ys)        # yt0..3, yb0..3
+
+    def finish(ys, bias_ref, res_ref, o_ref, stat_refs):
+        bias_v = bias_ref[0].astype(jnp.float32)
+        dt = o_ref.dtype
+        ys = [yi + bias_v for yi in ys]
+        if residual:
+            r = res_ref[...].reshape(nb * th, 2, w, ct)
+            for row in range(2):
+                rr = r[:, row].reshape(nb * th, tw4, 4 * ct)
+                for j in range(4):
+                    q = rr[..., j * ct:(j + 1) * ct] \
+                        .reshape(nt, ct).astype(jnp.float32)
+                    ys[row * 4 + j] = ys[row * 4 + j] + q
+        top = jnp.concatenate([ys[j].astype(dt) for j in range(4)],
+                              axis=-1).reshape(nb, th, 1, w, ct)
+        bot = jnp.concatenate([ys[4 + j].astype(dt) for j in range(4)],
+                              axis=-1).reshape(nb, th, 1, w, ct)
+        ob = jnp.concatenate([top, bot], axis=2).reshape(nb, h, w, ct)
+        o_ref[...] = ob
+        if stats:
+            of = ob.astype(jnp.float32).reshape(nb, h * w, ct)
+            stat_refs[0][:, 0] = jnp.sum(of, axis=1)
+            stat_refs[1][:, 0] = jnp.sum(of * of, axis=1)
+
+    def kern_flat(x_ref, a_ref, b_ref, w_ref, bias_ref, res_ref, o_ref,
+                  *stat_refs):
+        ys = tile_dots(x_ref, a_ref, b_ref, w_ref, pl.program_id(0))
+        finish(ys, bias_ref, res_ref, o_ref, stat_refs)
+
+    def kern_ktiled(x_ref, a_ref, b_ref, w_ref, bias_ref, res_ref,
+                    o_ref, *refs):
+        acc_ref = refs[-1]
+        stat_refs = refs[:-1]
+        k = pl.program_id(2)
+        ys = tile_dots(x_ref, a_ref, b_ref, w_ref, pl.program_id(0))
+        for qi, yq in enumerate(ys):
+            @pl.when(k == 0)
+            def _init(qi=qi, yq=yq):
+                acc_ref[qi] = yq
+
+            @pl.when(k > 0)
+            def _accum(qi=qi, yq=yq):
+                acc_ref[qi] = acc_ref[qi] + yq
+
+        @pl.when(k == n_ck - 1)
+        def _finish():
+            finish(tuple(acc_ref[qi] for qi in range(8)),
+                   bias_ref, res_ref, o_ref, stat_refs)
+
+    k_tiled = n_ck > 1
+    if k_tiled:
+        grid = (n // nb, n_ct, n_ck)
+        ix = lambda i, j, k: (i, 0, 0, k)
+        iab = lambda i, j, k: (0, k)
+        iw = lambda i, j, k: (0, k, j)
+        ibias = lambda i, j, k: (0, j)
+        ires = lambda i, j, k: (i, 0, 0, j)
+        ires0 = lambda i, j, k: (0, 0, 0, 0)
+        iout = lambda i, j, k: (i, 0, 0, j)
+        istat = lambda i, j, k: (i, 0, j)
+        sem = ("parallel", "arbitrary", "arbitrary")
+    elif n_ct > 1:
+        grid = (n // nb, n_ct)
+        ix = lambda i, j: (i, 0, 0, 0)
+        iab = lambda i, j: (0, 0)
+        iw = lambda i, j: (0, 0, j)
+        ibias = lambda i, j: (0, j)
+        ires = lambda i, j: (i, 0, 0, j)
+        ires0 = lambda i, j: (0, 0, 0, 0)
+        iout = lambda i, j: (i, 0, 0, j)
+        istat = lambda i, j: (i, 0, j)
+        sem = ("parallel", "arbitrary")
+    else:
+        grid = (n // nb,)
+        ix = lambda i: (i, 0, 0, 0)
+        iab = lambda i: (0, 0)
+        iw = lambda i: (0, 0, 0)
+        ibias = lambda i: (0, 0)
+        ires = lambda i: (i, 0, 0, 0)
+        ires0 = lambda i: (0, 0, 0, 0)
+        iout = lambda i: (i, 0, 0, 0)
+        istat = lambda i: (i, 0, 0)
+        sem = ("parallel",)
+
+    out_shape = [jax.ShapeDtypeStruct((n, h, w, cout), x.dtype)]
+    out_specs = [pl.BlockSpec((nb, h, w, ct), iout)]
+    if stats:
+        for _ in range(2):
+            out_shape.append(
+                jax.ShapeDtypeStruct((n, 1, cout), jnp.float32))
+            out_specs.append(pl.BlockSpec((nb, 1, ct), istat))
+
+    out = pl.pallas_call(
+        kern_ktiled if k_tiled else kern_flat,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, h, w, ck), ix),
+            pl.BlockSpec((n, ck), iab),
+            pl.BlockSpec((n, ck), iab),
+            pl.BlockSpec((24, ck, ct), iw),
+            pl.BlockSpec((1, ct), ibias),
+            (pl.BlockSpec((nb, h, w, ct), ires) if residual
+             else pl.BlockSpec((1, 1, 1, ct), ires0)),
+        ],
+        out_specs=out_specs if stats else out_specs[0],
+        out_shape=out_shape if stats else out_shape[0],
+        scratch_shapes=([pltpu.VMEM((8, nt, ct), jnp.float32)]
+                        if k_tiled else []),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=sem,
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(x, a, b, wt, bias.reshape(1, -1), res)
+    if stats:
+        y, s1, s2 = out
+        return y, s1.reshape(n, cout), s2.reshape(n, cout)
+    return out
