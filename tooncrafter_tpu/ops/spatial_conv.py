@@ -374,7 +374,12 @@ def _impl(x, a, b, kernel, bias, res, silu: bool, stats: bool):
     n, h, w, cin = x.shape
     if _on_tpu() or winograd._INTERPRET:
         # F(2x4) allowlist outranks F(2x2) (strictly fewer MXU flops;
-        # only entered where it measured faster than both XLA and F(2x2))
+        # only entered where it measured faster than both XLA and F(2x2));
+        # the padded table covers shapes the aligned kernels reject
+        # (disjoint keys by construction — unaligned channels)
+        if winograd.table_entry_pad(h, w, cin, kernel.shape[-1]):
+            return winograd.winograd_padded_gn_silu_conv3x3(
+                x, a, b, kernel, bias, res, silu, stats)
         if winograd.table_entry24(h, w, cin, kernel.shape[-1]):
             return winograd.winograd24_gn_silu_conv3x3(
                 x, a, b, kernel, bias, res, silu, stats)
