@@ -111,3 +111,36 @@ def test_full_pipeline_tiny():
     video_out = middle_frame_splice(model, params, samples, refs)
     assert video_out.shape == (b, t, h_px, w_px, 3)
     assert np.isfinite(np.asarray(video_out)).all()
+
+
+def test_full_pipeline_tiny_1024_aspect():
+    """The second shipped resolution's geometry, shrunk: 576x1024 runs at
+    72x128 latents (configs/inference_1024_v1.0.yaml:31-39 in the
+    reference); this locks the non-square aspect end-to-end at 18x32
+    latents (same 9:16 ratio, every level even) through the per-phase
+    Pipeline with the 1024 recipe — perframe_ae VAE chunking, 2-branch
+    CFG, middle-frame splice — so context-split routing, splice indexing,
+    and kernel dispatch integrate at a non-flagship aspect."""
+    from tooncrafter_tpu.models.diffusion import Pipeline
+
+    cfg = ModelConfig().tiny(latent_h=18, latent_w=32)
+    model = ToonCrafter(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    b, t = 1, cfg.video_length
+    h_px, w_px = cfg.latent_h * 8, cfg.latent_w * 8
+    fa = jax.random.uniform(jax.random.PRNGKey(1), (b, 1, h_px, w_px, 3),
+                            minval=-1, maxval=1)
+    fb = jax.random.uniform(jax.random.PRNGKey(2), (b, 1, h_px, w_px, 3),
+                            minval=-1, maxval=1)
+    video = jnp.concatenate([fa.repeat(t // 2, 1), fb.repeat(t // 2, 1)], 1)
+    tokens = jnp.zeros((b, 77), jnp.int32)
+
+    pipe = Pipeline(model, ddim_steps=2,
+                    guidance=GuidanceConfig(cfg_scale=7.5,
+                                            guidance_rescale=0.7),
+                    perframe_ae=True)
+    out = pipe(params, video, tokens, tokens, jnp.full((b,), 10.0),
+               jax.random.PRNGKey(3))
+    assert out.shape == (b, t, h_px, w_px, 3)
+    assert np.isfinite(np.asarray(out)).all()

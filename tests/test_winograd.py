@@ -212,6 +212,10 @@ def test_padded_dispatch_gate(monkeypatch):
     monkeypatch.setitem(wg._TABLE_PAD, (40, 64, 320, 320),
                         (384, 384, "f22"))
     monkeypatch.setattr(wg, "_WINOGRAD", True)
+    # a pad entry without its aligned twin at the PADDED key is stale:
+    # it must degrade to the XLA path (None), not KeyError at trace time
+    assert wg.table_entry_pad(40, 64, 320, 320) is None
+    monkeypatch.setitem(wg._TABLE, (40, 64, 384, 384), (1, 0, False, 0))
     assert wg.table_entry_pad(40, 64, 320, 320)
     monkeypatch.setattr(wg, "_WINOGRAD", False)
     assert wg.table_entry_pad(40, 64, 320, 320) is None
@@ -226,3 +230,34 @@ def test_f24_dispatch_geometry_gates(monkeypatch):
     assert wg.table_entry24(10, 16, 128, 128)
     monkeypatch.setattr(wg, "_WINOGRAD24", False)
     assert wg.table_entry24(10, 16, 128, 128) is None
+
+
+@pytest.mark.parametrize("kind", ["f22", "f24"])
+def test_bf16_ref_prologue_cast_point(kind, monkeypatch):
+    """The kernels honor spatial_conv._PROLOGUE_DTYPE (advisor r4): with
+    'ref' the fp32 affine result is cast to bf16 BEFORE SiLU (torch
+    autocast cast points); with 'f32' SiLU stays fp32. Asserts (a) the
+    kernel output tracks the XLA impl under the same mode at bf16-conv
+    tolerance and (b) the two modes actually produce different kernel
+    outputs (the setting is consulted, not ignored)."""
+    n, h, w, cin, cout = 4, 8, 8, 128, 128
+    x, scale, bias, kernel, cbias, _ = _mats(
+        jax.random.PRNGKey(3), n, h, w, cin, cout)
+    x = x.astype(jnp.bfloat16)
+    kernel = kernel.astype(jnp.bfloat16)
+    a, b = gn_affine(x, scale, bias, num_groups=32, eps=1e-5)
+    table = wg._TABLE if kind == "f22" else wg._TABLE24
+    impl = wg.winograd_gn_silu_conv3x3 if kind == "f22" \
+        else wg.winograd24_gn_silu_conv3x3
+    monkeypatch.setitem(table, (h, w, cin, cout), (2, 0, True, 0))
+    monkeypatch.setattr(wg, "_INTERPRET", True)
+    outs = {}
+    for mode in ("ref", "f32"):
+        monkeypatch.setattr(sc, "_PROLOGUE_DTYPE", mode)
+        want = sc._xla_impl(x, a, b, kernel, cbias, None, True, False)
+        got = impl(x, a, b, kernel, cbias, None, True, False)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=0.06, rtol=0.06)
+        outs[mode] = np.asarray(got, np.float32)
+    assert np.any(outs["ref"] != outs["f32"])

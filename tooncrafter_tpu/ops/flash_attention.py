@@ -380,6 +380,11 @@ def _mh_blk(sq: int, sk: int, c: int, heads: int) -> int:
     if sq != sk or c % heads or c // heads != 64 or sk > 9216:
         return 0
     if sk > 4096:
+        # only the swept geometry is admitted (advisor r4): intermediate
+        # lengths in (4096, 9216) would route here without measurement —
+        # send them to the measured two-pass per-(bh) fallback instead
+        if sk != 9216:
+            return 0
         # 1024-model ds1 self-attn (S=9216, C=320): swept at the real
         # shape (tools/bench_attn1_1024.py) — bq=256 beats 128/384/512
         # AND the two-pass per-(bh) fallback (48.3 vs 52.4 ms/call),

@@ -82,8 +82,9 @@ _TABLE = {
 
 
 def table_entry(h: int, w: int, cin: int, cout: int):
-    return _TABLE.get((h, w, cin, cout)) if (_WINOGRAD or _INTERPRET) \
-        else None
+    # gate on _WINOGRAD alone (not _INTERPRET): TC_WINOGRAD=0 must win
+    # even in interpret mode; tests monkeypatch _WINOGRAD/_TABLE directly
+    return _TABLE.get((h, w, cin, cout)) if _WINOGRAD else None
 
 
 # (16, 9) tap-combination matrix: M[(i,j), (a,b)] = G[i,a] * G[j,b]
@@ -128,6 +129,20 @@ def winograd_gn_silu_conv3x3(x, a, b, kernel, bias, res, silu: bool,
     if not residual:  # dummy block keeps the kernel arity fixed
         res = jnp.zeros((1, 1, 1, ct), x.dtype)
     wt = transform_kernel(kernel).astype(x.dtype)
+    # honor spatial_conv's prologue-dtype policy (advisor r4): 'ref'
+    # casts the fp32 affine result to compute dtype BEFORE SiLU to
+    # bit-match torch autocast's cast points; 'f32'/'bf16' keep SiLU in
+    # fp32 (the kernel's affine is fp32 either way — a/b blocks are f32)
+    from tooncrafter_tpu.ops import spatial_conv as _sc
+    pref = _sc._PROLOGUE_DTYPE == "ref" and x.dtype != jnp.float32
+    xdt = x.dtype
+
+    def prologue(z):
+        if pref:
+            z = z.astype(xdt)
+        if silu:
+            z = z * jax.nn.sigmoid(z)
+        return z
 
     def transform_in(zp):
         """(h+2, w+2, ck) padded slab -> 16 x (th*tw, ck) components."""
@@ -150,10 +165,9 @@ def winograd_gn_silu_conv3x3(x, a, b, kernel, bias, res, silu: bool,
         16 MXU dots; returns y0..y3 pre-bias partials (nt, ct) f32."""
         us_all = []
         for s in range(nb):
-            z = x_ref[s].astype(jnp.float32) \
-                * a_ref[i * nb + s][None] + b_ref[i * nb + s][None]
-            if silu:
-                z = z * jax.nn.sigmoid(z)
+            z = prologue(x_ref[s].astype(jnp.float32)
+                         * a_ref[i * nb + s][None]
+                         + b_ref[i * nb + s][None])
             zp = jnp.pad(z.astype(tdt), ((1, 1), (1, 1), (0, 0)))
             us_all.append(transform_in(zp))
         us = [jnp.concatenate(parts, 0) for parts in zip(*us_all)] \
@@ -309,12 +323,23 @@ def winograd_gn_silu_conv3x3(x, a, b, kernel, bias, res, silu: bool,
 # _TABLE_PAD: (h, w, cin, cout) -> (cin_pad, cout_pad, kind); the
 # aligned entry must also exist in the kind's table at the PADDED key.
 # Populated only from measured wins (tools/bench_winograd_pad.py).
-_TABLE_PAD = {}
+_TABLE_PAD = {}  # empty = path parked pending a winograd_pad_ab win
 
 
 def table_entry_pad(h: int, w: int, cin: int, cout: int):
-    return _TABLE_PAD.get((h, w, cin, cout)) if (_WINOGRAD or _INTERPRET) \
-        else None
+    if not _WINOGRAD:
+        return None
+    e = _TABLE_PAD.get((h, w, cin, cout))
+    if e is None:
+        return None
+    # a pad entry is only usable if its aligned twin exists at the
+    # PADDED key in the named kind's table — degrade a stale entry to
+    # the XLA path instead of a trace-time KeyError
+    cin_pad, cout_pad, kind = e
+    table = _TABLE24 if kind == "f24" else _TABLE
+    if (h, w, cin_pad, cout_pad) not in table:
+        return None
+    return e
 
 
 def winograd_padded_gn_silu_conv3x3(x, a, b, kernel, bias, res,
@@ -382,7 +407,7 @@ _WINOGRAD24 = os.environ.get("TC_WINOGRAD24", "1") != "0"
 
 
 def table_entry24(h: int, w: int, cin: int, cout: int):
-    if not (_WINOGRAD24 and (_WINOGRAD or _INTERPRET)):
+    if not (_WINOGRAD24 and _WINOGRAD):
         return None
     if h % 2 or w % 4:
         return None
@@ -420,6 +445,18 @@ def winograd24_gn_silu_conv3x3(x, a, b, kernel, bias, res, silu: bool,
     if not residual:
         res = jnp.zeros((1, 1, 1, ct), x.dtype)
     wt = transform_kernel24(kernel).astype(x.dtype)
+    # same prologue-dtype policy as the F(2x2) kernel (advisor r4); the
+    # F(4,3) input transform still runs in fp32 after the cast point
+    from tooncrafter_tpu.ops import spatial_conv as _sc
+    pref = _sc._PROLOGUE_DTYPE == "ref" and x.dtype != jnp.float32
+    xdt = x.dtype
+
+    def prologue(z):
+        if pref:
+            z = z.astype(xdt)
+        if silu:
+            z = z * jax.nn.sigmoid(z)
+        return z.astype(jnp.float32)
 
     def transform_in(zp):
         """(h+2, w+4, ck) fp32 padded slab -> 24 x (th*tw4, ck) tdt
@@ -448,10 +485,9 @@ def winograd24_gn_silu_conv3x3(x, a, b, kernel, bias, res, silu: bool,
     def tile_dots(x_ref, a_ref, b_ref, w_ref, i):
         us_all = []
         for s in range(nb):
-            z = x_ref[s].astype(jnp.float32) \
-                * a_ref[i * nb + s][None] + b_ref[i * nb + s][None]
-            if silu:
-                z = z * jax.nn.sigmoid(z)
+            z = prologue(x_ref[s].astype(jnp.float32)
+                         * a_ref[i * nb + s][None]
+                         + b_ref[i * nb + s][None])
             zp = jnp.pad(z, ((1, 1), (1, 3), (0, 0)))
             us_all.append(transform_in(zp))
         us = [jnp.concatenate(parts, 0) for parts in zip(*us_all)] \
