@@ -98,11 +98,58 @@ def main():
     times.sort()
     p50 = times[len(times) // 2]
 
+    # optional phases ride a wall-clock budget: the driver captures one
+    # bench invocation, and a remote-compile warmup is minutes — skip an
+    # optional phase rather than blow the invocation
+    import os
+    budget_s = float(os.environ.get("TC_BENCH_BUDGET_S", "4500"))
+
+    def remaining():
+        return budget_s - (time.perf_counter() - T0)
+
+    # second shipped resolution (configs/inference_1024_v1.0.yaml):
+    # 576x1024, 72x128 latents, perframe_ae chunked VAE — same record
+    # line so the driver-captured BENCH can show a 1024 regression
+    p50_1024 = 0.0
+    if full and remaining() > 1500:
+        from tooncrafter_tpu.models.diffusion import (ModelConfig,
+                                                      ToonCrafter)
+
+        cfg1k = ModelConfig(latent_h=72, latent_w=128,
+                            compute_dtype=jnp.bfloat16)
+        model1k = ToonCrafter(cfg1k)
+        from tooncrafter_tpu.utils.synth import synth_params
+
+        params1k = synth_params(model1k.param_shapes())
+        pipe1k = Pipeline(model1k, ddim_steps=ddim_steps,
+                          guidance=guidance, perframe_ae=True)
+        video1k = jax.random.uniform(jax.random.PRNGKey(11),
+                                     (1, cfg1k.video_length, 576, 1024, 3),
+                                     minval=-1, maxval=1)
+
+        def run1k(key):
+            out = pipe1k(params1k, video1k, tokens, tokens, fs, key)
+            return float(jnp.mean(out.astype(jnp.float32)))
+
+        log("1024 warmup starting")
+        run1k(jax.random.PRNGKey(12))
+        log("1024 warmup done")
+        t1ks = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            run1k(jax.random.PRNGKey(13 + i))
+            t1ks.append(time.perf_counter() - t0)
+            log(f"1024 run {i}: {t1ks[-1]:.2f}s")
+            if remaining() < 120:
+                break
+        p50_1024 = min(t1ks)
+        del params1k, video1k, pipe1k
+
     # throughput (clips/min/chip): the BASELINE config also tracks batched
     # serving throughput, not just single-clip latency — measure a B=2
     # pipeline (CFG-batched UNet runs at batch 4)
     tput_b2 = 0.0
-    if full:
+    if full and remaining() > 700:
         video2 = jnp.concatenate([video, video], 0)
         tokens2 = jnp.concatenate([tokens, tokens], 0)
         fs2 = jnp.concatenate([fs, fs], 0)
@@ -133,6 +180,8 @@ def main():
         "clips_per_min_chip": round(60.0 / p50, 3) if full else 0.0,
         "clips_per_min_chip_b2": round(tput_b2, 3),
     }
+    if p50_1024:
+        record["clip_latency_576x1024x16_ddim50_s"] = round(p50_1024, 3)
     # peak HBM (the reference reports ~24 GB on A100, README.md:222);
     # the axon relay device returns no memory_stats — omit rather than
     # print a misleading 0

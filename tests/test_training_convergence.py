@@ -115,3 +115,31 @@ def test_grad_accum_matches_unaccumulated_step(tiny):
                     jax.tree_util.tree_leaves(ref_state.train_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-7)
+
+
+@pytest.mark.parametrize("policy", [None, "dots", "dots_no_batch"])
+def test_remat_policies_grad_identical(tiny, policy):
+    """use_checkpoint + any remat_policy must be loss- AND grad-identical
+    to the unrematted forward (remat changes memory/recompute only).
+    Locks the r5 remat_policy plumbing (models/unet.py `rematted`)."""
+    cfg, model, batch = tiny
+    rng = jax.random.PRNGKey(11)
+
+    def loss_for(m):
+        train, frozen = T.split_trainable(m.init_params(
+            jax.random.PRNGKey(0)))
+
+        def f(tp):
+            loss, _ = T.diffusion_loss(m, tp, frozen, batch, rng)
+            return loss
+        return jax.value_and_grad(f)(train)
+
+    base_l, base_g = loss_for(model)
+    mr = ToonCrafter(dataclasses.replace(
+        cfg, use_checkpoint=True, remat_policy=policy))
+    re_l, re_g = loss_for(mr)
+    assert float(base_l) == pytest.approx(float(re_l), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(base_g),
+                    jax.tree_util.tree_leaves(re_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

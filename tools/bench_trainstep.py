@@ -28,7 +28,10 @@ import time
 import jax
 import jax.numpy as jnp
 
-OUT = "/root/repo/.audit_r03.jsonl"
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+OUT = "/root/repo/.audit_r05.jsonl"
 T0 = time.time()
 
 
@@ -48,6 +51,14 @@ def main():
     ap.add_argument("--grad-only", action="store_true")
     ap.add_argument("--bs", type=int, default=1)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--remat", default="full",
+                    choices=["full", "dots", "dots_no_batch", "off"],
+                    help="per-block remat policy sweep (r5 attribution): "
+                         "full = save nothing, dots = save MXU outputs, "
+                         "off = no remat (memory permitting)")
+    ap.add_argument("--trace", default=None,
+                    help="profiler logdir: trace one step and print the "
+                         "per-bucket op breakdown")
     args = ap.parse_args()
 
     import dataclasses
@@ -58,7 +69,10 @@ def main():
     from tooncrafter_tpu.training import trainer as T
     from tooncrafter_tpu.utils.synth import synth_params
 
-    cfg = ModelConfig(compute_dtype=jnp.bfloat16, use_checkpoint=True)
+    cfg = ModelConfig(compute_dtype=jnp.bfloat16,
+                      use_checkpoint=args.remat != "off",
+                      remat_policy=(None if args.remat in ("full", "off")
+                                    else args.remat))
     model = ToonCrafter(cfg)
     shapes = model.param_shapes()
     log(f"backend={jax.default_backend()}")
@@ -90,7 +104,7 @@ def main():
             return loss, optax.global_norm(grads)
 
         arg = (train, frozen, batch)
-        name = f"trainstep_gradonly_bs{b}"
+        name = f"trainstep_gradonly_bs{b}_remat_{args.remat}"
     else:
         # bf16 mu: the fp32 (params, mu, nu) triple alone is 13.2 GB and
         # evicts the activations; bf16 mu fits with remat on
@@ -105,9 +119,23 @@ def main():
             return optax.apply_updates(tp, updates), os_, loss
 
         arg = (train, opt_state, frozen, batch)
-        name = f"trainstep_adamw_bf16mu_bs{b}"
+        name = f"trainstep_adamw_bf16mu_bs{b}_remat_{args.remat}"
 
     t0 = time.time()
+    # compile explicitly so cost_analysis is readable (NOTE: the figure
+    # UNDERREPORTS model FLOPs — Pallas kernels (flash fwd/bwd, fused FF)
+    # hide theirs from XLA's count; treat it as a floor)
+    flops = hbm = 0.0
+    try:
+        c = step.lower(*arg).compile()
+        ca = c.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        hbm = float(ca.get("bytes accessed", 0.0))
+        step = c
+    except Exception as exc:  # noqa: BLE001
+        log(f"cost_analysis unavailable: {exc}")
     out = step(*arg)
     jax.block_until_ready(out)
     # block_until_ready under-synchronizes through the axon relay; force a
@@ -124,10 +152,25 @@ def main():
             jax.tree_util.tree_leaves(out)[-1].astype(jnp.float32)))
         times.append(time.perf_counter() - s)
     times.sort()
-    emit({"name": name, "median_s": round(times[len(times) // 2], 3),
+    med = times[len(times) // 2]
+    emit({"name": name, "median_s": round(med, 3),
           "min_s": round(times[0], 3), "compile_s": round(compile_s, 1),
-          "remat": True, "ema": False, "note":
-          "single chip; reference hint ~3 s/step at bs2x8gpu+accum2"})
+          "xla_tflop_floor": round(flops / 1e12, 2),
+          "xla_tflops_per_s_floor": round(flops / 1e12 / med, 1),
+          "hbm_gb_per_step": round(hbm / 2**30, 1),
+          "remat": args.remat, "ema": False, "note":
+          "single chip; reference hint ~3 s/step at bs2x8gpu+accum2; "
+          "tflop is an XLA floor (Pallas kernels hide FLOPs)"})
+
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
+        out = step(*arg)
+        float(jnp.mean(
+            jax.tree_util.tree_leaves(out)[-1].astype(jnp.float32)))
+        jax.profiler.stop_trace()
+        _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+        from profile_unet import parse_trace
+        parse_trace(args.trace)
 
 
 if __name__ == "__main__":

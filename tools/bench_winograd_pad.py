@@ -136,9 +136,9 @@ def main():
           ("f24", 1, 0, False, 0), ("f24", 1, 256, False, 0),
           ("f24", 2, 256, False, 256)]),
     ]
-    rows = []
+    only = [s for s in args.only.split(",") if s]
     for (tag, n, h, w, cin, cout, cin_pad, cout_pad, cands) in cases:
-        if args.only and args.only not in tag:
+        if only and not any(s in tag for s in only):
             continue
         ks = jax.random.split(jax.random.PRNGKey(h * w + cin), 6)
         x = jax.random.normal(ks[0], (n, h, w, cin)).astype(jnp.bfloat16)
@@ -180,31 +180,40 @@ def main():
                 print(f"{tag}: {label} FAIL {str(ex)[:180]}", flush=True)
             finally:
                 table.pop(key, None)
-        if best:
+        if best and best[1] < res_d["xla"]:
+            # parity check only where the variant actually won (the
+            # losing-variant parity at 72x128 OOMed scoped VMEM once —
+            # guard it so one bad case can't sink the whole sweep)
             (kind, entry), _ = best
             table = wg._TABLE if kind == "f22" else wg._TABLE24
             impl = wg.winograd_gn_silu_conv3x3 if kind == "f22" \
                 else wg.winograd24_gn_silu_conv3x3
             table[key] = entry
-            a_, b_ = gn_affine(x, scale, bias, num_groups=32, eps=1e-5)
-            want = sc._xla_impl(x, a_, b_, kernel, cbias, res, silu,
-                                stats)[0]
-            got = padded_call(impl, cin_pad, cout_pad)(
-                x, a_, b_, kernel, cbias, res, silu, stats)[0]
-            dmax = float(jnp.max(jnp.abs(got.astype(jnp.float32)
-                                         - want.astype(jnp.float32))))
-            res_d["maxdelta"] = dmax
-            res_d["best"] = [kind] + list(entry)
-            print(f"  best {kind} {entry} max|wino-xla| = {dmax:.4f}",
-                  flush=True)
-            table.pop(key, None)
-        rows.append({"name": "winograd_pad_ab", "tag": tag,
-                     "shape": f"{n}:{h}x{w}x{cin}->{cout}"
-                              f" (pad {cin_pad}->{cout_pad})",
-                     "gf": round(gf, 1), "ms": res_d})
-    with open(args.out, "a") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
+            try:
+                a_, b_ = gn_affine(x, scale, bias, num_groups=32,
+                                   eps=1e-5)
+                want = sc._xla_impl(x, a_, b_, kernel, cbias, res, silu,
+                                    stats)[0]
+                got = padded_call(impl, cin_pad, cout_pad)(
+                    x, a_, b_, kernel, cbias, res, silu, stats)[0]
+                dmax = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                             - want.astype(jnp.float32))))
+                res_d["maxdelta"] = dmax
+                res_d["best"] = [kind] + list(entry)
+                print(f"  best {kind} {entry} max|wino-xla| = {dmax:.4f}",
+                      flush=True)
+            except Exception as ex:
+                res_d["maxdelta"] = "FAIL"
+                print(f"  parity FAIL {str(ex)[:180]}", flush=True)
+            finally:
+                table.pop(key, None)
+        # append per case: a crash mid-sweep must not lose earlier rows
+        with open(args.out, "a") as f:
+            f.write(json.dumps(
+                {"name": "winograd_pad_ab", "tag": tag,
+                 "shape": f"{n}:{h}x{w}x{cin}->{cout}"
+                          f" (pad {cin_pad}->{cout_pad})",
+                 "gf": round(gf, 1), "ms": res_d}) + "\n")
 
 
 if __name__ == "__main__":

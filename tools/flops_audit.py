@@ -30,7 +30,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 V5E_PEAK_TFLOPS = 197.0  # bf16
-OUT = "/root/repo/.audit_r03.jsonl"
+OUT = "/root/repo/.audit_r05.jsonl"
 T0 = time.time()
 TAG = None  # set by --tag; suffixes every record name so A/B variants
 #             can't be mistaken for the current baseline (ADVICE r2 #1)
@@ -97,6 +97,9 @@ def main():
                    help="clip batch sizes to measure (comma-separated)")
     p.add_argument("--tag", default=None,
                    help="suffix for record names (A/B experiment label)")
+    p.add_argument("--latent", default=None,
+                   help="HxW latent override, e.g. 72x128 (the 576x1024 "
+                        "interpolation model)")
     args = p.parse_args()
     if args.tag:
         global TAG
@@ -108,7 +111,12 @@ def main():
     from tooncrafter_tpu.sampling.ddim import GuidanceConfig
     from tooncrafter_tpu.utils.synth import synth_params
 
-    cfg = ModelConfig(compute_dtype=jnp.bfloat16)
+    if args.latent:
+        lh_, lw_ = (int(v) for v in args.latent.split("x"))
+        cfg = ModelConfig(latent_h=lh_, latent_w=lw_,
+                          compute_dtype=jnp.bfloat16)
+    else:
+        cfg = ModelConfig(compute_dtype=jnp.bfloat16)
     model = ToonCrafter(cfg)
     shapes = model.param_shapes()
     t = cfg.video_length

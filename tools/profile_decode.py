@@ -19,11 +19,16 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def build():
+def build(latent=None):
     from tooncrafter_tpu.models.diffusion import ModelConfig, ToonCrafter
     from tooncrafter_tpu.utils.synth import synth_params
 
-    cfg = ModelConfig(compute_dtype=jnp.bfloat16)
+    if latent:
+        lh_, lw_ = (int(v) for v in latent.split("x"))
+        cfg = ModelConfig(latent_h=lh_, latent_w=lw_,
+                          compute_dtype=jnp.bfloat16)
+    else:
+        cfg = ModelConfig(compute_dtype=jnp.bfloat16)
     model = ToonCrafter(cfg)
     shapes = model.param_shapes()
     params = synth_params({"dualref_decoder": shapes["dualref_decoder"]})
@@ -49,10 +54,12 @@ def main():
     p.add_argument("--logdir", default="/tmp/decode_profile")
     p.add_argument("--hlo", default=None,
                    help="dump the optimized decode HLO text here")
+    p.add_argument("--latent", default=None,
+                   help="HxW latent override, e.g. 72x128")
     args = p.parse_args()
 
     t0 = time.time()
-    dec, inputs = build()
+    dec, inputs = build(args.latent)
     print(f"[{time.time()-t0:.1f}s] built; compiling...", flush=True)
     sync = lambda y: float(jnp.mean(y.astype(jnp.float32)))
     if args.hlo:

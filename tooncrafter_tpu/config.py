@@ -111,6 +111,7 @@ def model_config_from_dict(cfg: Dict[str, Any]) -> ModelConfig:
         fs_condition=unet.get("fs_condition", True),
         default_fs=unet.get("default_fs", 24),
         use_checkpoint=unet.get("use_checkpoint", False),
+        remat_policy=unet.get("remat_policy", None),
         image_cross_attention_scale_learnable=unet.get(
             "image_cross_attention_scale_learnable", False),
         use_relative_position=unet.get("use_relative_position", False),

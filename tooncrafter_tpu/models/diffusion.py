@@ -92,6 +92,7 @@ class ModelConfig:
     default_fs: int = 24
     image_cross_attention_scale_learnable: bool = False
     use_checkpoint: bool = False  # remat UNet blocks during training
+    remat_policy: Any = None  # None | 'dots' | 'dots_no_batch' (unet.py)
     use_relative_position: bool = False
     use_causal_attention: bool = False
     # vae
@@ -166,6 +167,7 @@ class ToonCrafter:
             image_cross_attention_scale_learnable=(
                 c.image_cross_attention_scale_learnable),
             use_checkpoint=c.use_checkpoint,
+            remat_policy=c.remat_policy,
             use_relative_position=c.use_relative_position,
             use_causal_attention=c.use_causal_attention, dtype=dt)
         self.vae = AutoencoderKL(

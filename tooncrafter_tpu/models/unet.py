@@ -764,6 +764,11 @@ class UNetModel(nn.Module):
     text_len: int = 77
     img_tokens_per_frame: int = 16
     use_checkpoint: bool = False  # per-block nn.remat (training memory)
+    # what the per-block remat saves: None = save nothing (recompute the
+    # whole block in the bwd pass — max memory saving), 'dots' = save MXU
+    # outputs (jax.checkpoint_policies.checkpoint_dots — recompute only
+    # the cheap VPU work), 'dots_no_batch' = its no-batch-dims variant
+    remat_policy: Optional[str] = None
     use_relative_position: bool = False
     use_causal_attention: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -843,9 +848,20 @@ class UNetModel(nn.Module):
         # Gated like the in-block fusion (ResBlock `fused`).
         chain = deterministic or self.dropout == 0.0
 
+        def rematted(cls, static_argnums):
+            if not self.use_checkpoint:
+                return cls
+            policy = {
+                None: None,
+                "dots": jax.checkpoint_policies.checkpoint_dots,
+                "dots_no_batch":
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            }[self.remat_policy]
+            return nn.remat(cls, static_argnums=static_argnums,
+                            policy=policy)
+
         def res(idx_name, ch, h, st=None):
-            cls = (nn.remat(UNetResBlock, static_argnums=(3, 4, 6))
-                   if self.use_checkpoint else UNetResBlock)
+            cls = rematted(UNetResBlock, (3, 4, 6))
             e = emb[:bs * t] if shared[0] else emb
             out = cls(ch, self.dropout, use_temporal_conv=True,
                       dtype=self.dtype, name=idx_name)(
@@ -854,8 +870,7 @@ class UNetModel(nn.Module):
 
         def spatial(idx_name, ch, h, st=None):
             heads = ch // self.num_head_channels
-            cls = (nn.remat(SpatialTransformer, static_argnums=(3, 5))
-                   if self.use_checkpoint else SpatialTransformer)
+            cls = rematted(SpatialTransformer, (3, 5))
             h, st = widen_pair(h, st)
             out = cls(
                 heads, self.num_head_channels, self.transformer_depth,
@@ -875,8 +890,7 @@ class UNetModel(nn.Module):
                 # spans (T, H, W)
                 st5 = (st[0].reshape(nb, t, -1).sum(1),
                        st[1].reshape(nb, t, -1).sum(1))
-            cls = (nn.remat(TemporalTransformer, static_argnums=(2, 4))
-                   if self.use_checkpoint else TemporalTransformer)
+            cls = rematted(TemporalTransformer, (2, 4))
             out = cls(
                 heads, self.num_head_channels, self.transformer_depth,
                 causal=self.use_causal_attention,

@@ -130,16 +130,18 @@ def winograd_gn_silu_conv3x3(x, a, b, kernel, bias, res, silu: bool,
         res = jnp.zeros((1, 1, 1, ct), x.dtype)
     wt = transform_kernel(kernel).astype(x.dtype)
     # honor spatial_conv's prologue-dtype policy (advisor r4): 'ref'
-    # casts the fp32 affine result to compute dtype BEFORE SiLU to
-    # bit-match torch autocast's cast points; 'f32'/'bf16' keep SiLU in
-    # fp32 (the kernel's affine is fp32 either way — a/b blocks are f32)
+    # ROUNDS the fp32 affine result to compute dtype before SiLU (torch
+    # autocast's cast point). The SiLU arithmetic itself stays fp32 —
+    # bf16 mul/sigmoid ops fail Mosaic verification ('vector.broadcast',
+    # repro r5) — so vs XLA-'ref' the only residual divergence is the
+    # product's final bf16 rounding, below the kernel's ~6e-3 envelope.
     from tooncrafter_tpu.ops import spatial_conv as _sc
     pref = _sc._PROLOGUE_DTYPE == "ref" and x.dtype != jnp.float32
     xdt = x.dtype
 
     def prologue(z):
         if pref:
-            z = z.astype(xdt)
+            z = z.astype(xdt).astype(jnp.float32)
         if silu:
             z = z * jax.nn.sigmoid(z)
         return z
@@ -445,18 +447,19 @@ def winograd24_gn_silu_conv3x3(x, a, b, kernel, bias, res, silu: bool,
     if not residual:
         res = jnp.zeros((1, 1, 1, ct), x.dtype)
     wt = transform_kernel24(kernel).astype(x.dtype)
-    # same prologue-dtype policy as the F(2x2) kernel (advisor r4); the
-    # F(4,3) input transform still runs in fp32 after the cast point
+    # same prologue-dtype policy as the F(2x2) kernel (advisor r4; bf16
+    # round-trip, fp32 SiLU arithmetic — bf16 ops are Mosaic-illegal);
+    # the F(4,3) input transform still runs in fp32 after the cast point
     from tooncrafter_tpu.ops import spatial_conv as _sc
     pref = _sc._PROLOGUE_DTYPE == "ref" and x.dtype != jnp.float32
     xdt = x.dtype
 
     def prologue(z):
         if pref:
-            z = z.astype(xdt)
+            z = z.astype(xdt).astype(jnp.float32)
         if silu:
             z = z * jax.nn.sigmoid(z)
-        return z.astype(jnp.float32)
+        return z
 
     def transform_in(zp):
         """(h+2, w+4, ck) fp32 padded slab -> 24 x (th*tw4, ck) tdt
