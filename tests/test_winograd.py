@@ -171,56 +171,6 @@ def test_f24_ct_tiled(monkeypatch):
            monkeypatch=monkeypatch, tol=2e-4)
 
 
-# ---------------------------------------------------------------------------
-# Channel-padded dispatch (winograd_padded_gn_silu_conv3x3): unaligned
-# cin/cout padded up to 128 multiples outside the aligned kernels.
-# ---------------------------------------------------------------------------
-
-
-@pytest.mark.parametrize("kind", ["f22", "f24"])
-@pytest.mark.parametrize("stats", [False, True])
-def test_padded_parity(kind, stats, monkeypatch):
-    # 80-channel in/out padded to 128 — both pads exercised, plus the
-    # residual/bias/stats slicing
-    n, h, w, cin, cout = 2, 8, 8, 80, 80
-    x, scale, bias, kernel, cbias, res = _mats(
-        jax.random.PRNGKey(20), n, h, w, cin, cout)
-    a, b = gn_affine(x, scale, bias, num_groups=16, eps=1e-5)
-    ref = sc._xla_impl(x, a, b, kernel, cbias, res, True, stats)
-    table = wg._TABLE if kind == "f22" else wg._TABLE24
-    monkeypatch.setitem(table, (h, w, 128, 128), (2, 0, False, 0))
-    monkeypatch.setitem(wg._TABLE_PAD, (h, w, cin, cout),
-                        (128, 128, kind))
-    monkeypatch.setattr(wg, "_INTERPRET", True)
-    got = wg.winograd_padded_gn_silu_conv3x3(
-        x, a, b, kernel, cbias, res, True, stats)
-    tol = 2e-4
-    if stats:
-        got, s1, s2 = got
-        ref, r1, r2 = ref
-        assert s1.shape == (n, cout) and s2.shape == (n, cout)
-        np.testing.assert_allclose(np.asarray(s1), np.asarray(r1),
-                                   atol=tol * h * w, rtol=tol)
-        np.testing.assert_allclose(np.asarray(s2), np.asarray(r2),
-                                   atol=tol * h * w * 10, rtol=tol)
-    assert got.shape == (n, h, w, cout)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=tol, rtol=tol)
-
-
-def test_padded_dispatch_gate(monkeypatch):
-    monkeypatch.setitem(wg._TABLE_PAD, (40, 64, 320, 320),
-                        (384, 384, "f22"))
-    monkeypatch.setattr(wg, "_WINOGRAD", True)
-    # a pad entry without its aligned twin at the PADDED key is stale:
-    # it must degrade to the XLA path (None), not KeyError at trace time
-    assert wg.table_entry_pad(40, 64, 320, 320) is None
-    monkeypatch.setitem(wg._TABLE, (40, 64, 384, 384), (1, 0, False, 0))
-    assert wg.table_entry_pad(40, 64, 320, 320)
-    monkeypatch.setattr(wg, "_WINOGRAD", False)
-    assert wg.table_entry_pad(40, 64, 320, 320) is None
-
-
 def test_f24_dispatch_geometry_gates(monkeypatch):
     monkeypatch.setitem(wg._TABLE24, (10, 18, 128, 128), (1, 0, False, 0))
     monkeypatch.setattr(wg, "_WINOGRAD24", True)

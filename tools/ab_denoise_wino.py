@@ -12,7 +12,6 @@ already-shipped yardstick.
 
 Usage: python tools/ab_denoise_wino.py [--steps 10]
        [--f24 "20x32x640x640:2,0,0,0;..."]   (entries to trial)
-       [--pad "40x64x320x320:384,384,f22;..."]
        [--out /root/repo/.audit_r04.jsonl]
 """
 from __future__ import annotations
@@ -42,21 +41,10 @@ def parse_f24(s):
     return out
 
 
-def parse_pad(s):
-    out = {}
-    for part in filter(None, s.split(";")):
-        key, val = part.split(":")
-        h, w, ci, co = (int(v) for v in key.split("x"))
-        cip, cop, kind = val.split(",")
-        out[(h, w, ci, co)] = (int(cip), int(cop), kind)
-    return out
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--f24", default="")
-    p.add_argument("--pad", default="")
     p.add_argument("--latent", default=None)
     p.add_argument("--out", default="/root/repo/.audit_r04.jsonl")
     args = p.parse_args()
@@ -85,27 +73,17 @@ def main():
     fs = jnp.full((1,), 10, jnp.int32)
 
     f24_entries = parse_f24(args.f24)
-    pad_entries = parse_pad(args.pad)
-    # aligned entries the pad table points at must exist in the kind
-    # tables (production adoption mirrors this)
-    pad_aligned = {}
-    for (h, w, ci, co), (cip, cop, kind) in pad_entries.items():
-        pad_aligned.setdefault(kind, {})[(h, w, cip, cop)] = \
-            (1, 0, False, 0)
 
-    saved = (dict(wg._TABLE), dict(wg._TABLE24), dict(wg._TABLE_PAD))
+    saved = (dict(wg._TABLE), dict(wg._TABLE24))
     configs = [
-        ("xla", {}, {}, {}),
-        ("f22_shipped", saved[0], saved[1], saved[2]),
-        ("trial", {**saved[0], **pad_aligned.get("f22", {})},
-         {**saved[1], **f24_entries, **pad_aligned.get("f24", {})},
-         {**saved[2], **pad_entries}),
+        ("xla", {}, {}),
+        ("f22_shipped", saved[0], saved[1]),
+        ("trial", saved[0], {**saved[1], **f24_entries}),
     ]
     results = {}
-    for name, t22, t24, tpad in configs:
+    for name, t22, t24 in configs:
         wg._TABLE.clear(); wg._TABLE.update(t22)
         wg._TABLE24.clear(); wg._TABLE24.update(t24)
-        wg._TABLE_PAD.clear(); wg._TABLE_PAD.update(tpad)
 
         def denoise(params, x_T, contexts, concat, fs, rng):
             return model.denoise(params, x_T, contexts, concat, fs, rng,
@@ -130,13 +108,12 @@ def main():
               f"(walls {[round(w,3) for w in walls]})", flush=True)
     wg._TABLE.clear(); wg._TABLE.update(saved[0])
     wg._TABLE24.clear(); wg._TABLE24.update(saved[1])
-    wg._TABLE_PAD.clear(); wg._TABLE_PAD.update(saved[2])
 
     ref = results["xla"][1]
     rms = float(jnp.sqrt(jnp.mean(ref * ref)))
     row = {"name": "wino_trial_inloop", "steps": args.steps,
            "latent": args.latent or "40x64",
-           "f24": args.f24, "pad": args.pad, "ms_step": {}, "num": {}}
+           "f24": args.f24, "ms_step": {}, "num": {}}
     for name, (ms, out) in results.items():
         row["ms_step"][name] = round(ms, 2)
         if name != "xla":

@@ -374,12 +374,12 @@ def _impl(x, a, b, kernel, bias, res, silu: bool, stats: bool):
     n, h, w, cin = x.shape
     if _on_tpu() or winograd._INTERPRET:
         # F(2x4) allowlist outranks F(2x2) (strictly fewer MXU flops;
-        # only entered where it measured faster than both XLA and F(2x2));
-        # the padded table covers shapes the aligned kernels reject
-        # (disjoint keys by construction — unaligned channels)
-        if winograd.table_entry_pad(h, w, cin, kernel.shape[-1]):
-            return winograd.winograd_padded_gn_silu_conv3x3(
-                x, a, b, kernel, bias, res, silu, stats)
+        # only entered where it measured faster than both XLA and F(2x2)).
+        # No channel-padded dispatch: the pad-to-384 workaround for the
+        # unaligned ds1 shapes measured a LOSS at every shape (r5
+        # winograd_pad_ab — pad/slice HBM passes + lower-rate 384-ch dots
+        # beat the 2.25x multiply saving); tools/bench_winograd_pad.py
+        # keeps the harness if a future Mosaic lifts the lane-merge limit
         if winograd.table_entry24(h, w, cin, kernel.shape[-1]):
             return winograd.winograd24_gn_silu_conv3x3(
                 x, a, b, kernel, bias, res, silu, stats)

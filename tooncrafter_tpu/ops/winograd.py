@@ -312,68 +312,15 @@ def winograd_gn_silu_conv3x3(x, a, b, kernel, bias, res, silu: bool,
 
 
 # ---------------------------------------------------------------------------
-# Channel-padded dispatch: the ds1 (40x64) UNet level is locked out of
-# the aligned kernels (cin=320 hits the Mosaic lane-merge limit, the
-# cout=320 paired output layout measured a loss) yet its XLA convs run
-# at only 64-91 TF/s (winograd_ab rows). Padding cin/cout up to the next
-# 128 multiple OUTSIDE the kernel is exact — zero affine rows make the
-# prologue emit silu(0)=0 on pad channels regardless of x's pad values,
-# zero weight columns keep pad lanes out of the sliced output — and the
-# pad/slice passes are elementwise HBM traffic XLA fuses into the
-# producer/consumer while the dots shrink 2.25-3x.
-#
-# _TABLE_PAD: (h, w, cin, cout) -> (cin_pad, cout_pad, kind); the
-# aligned entry must also exist in the kind's table at the PADDED key.
-# Populated only from measured wins (tools/bench_winograd_pad.py).
-_TABLE_PAD = {}  # empty = path parked pending a winograd_pad_ab win
-
-
-def table_entry_pad(h: int, w: int, cin: int, cout: int):
-    if not _WINOGRAD:
-        return None
-    e = _TABLE_PAD.get((h, w, cin, cout))
-    if e is None:
-        return None
-    # a pad entry is only usable if its aligned twin exists at the
-    # PADDED key in the named kind's table — degrade a stale entry to
-    # the XLA path instead of a trace-time KeyError
-    cin_pad, cout_pad, kind = e
-    table = _TABLE24 if kind == "f24" else _TABLE
-    if (h, w, cin_pad, cout_pad) not in table:
-        return None
-    return e
-
-
-def winograd_padded_gn_silu_conv3x3(x, a, b, kernel, bias, res,
-                                    silu: bool, stats: bool):
-    """Channel-padded wrapper over the aligned Winograd kernels (same
-    contract as winograd_gn_silu_conv3x3; caller must have checked
-    table_entry_pad)."""
-    n, h, w, cin = x.shape
-    cout = kernel.shape[-1]
-    cin_pad, cout_pad, kind = _TABLE_PAD[(h, w, cin, cout)]
-    dcin, dcout = cin_pad - cin, cout_pad - cout
-    if dcin:
-        x = jnp.pad(x, ((0, 0),) * 3 + ((0, dcin),))
-        a = jnp.pad(a, ((0, 0), (0, dcin)))
-        b = jnp.pad(b, ((0, 0), (0, dcin)))
-        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, dcin), (0, 0)))
-    if dcout:
-        kernel = jnp.pad(kernel, ((0, 0),) * 3 + ((0, dcout),))
-        bias = jnp.pad(bias, (0, dcout))
-        if res is not None:
-            res = jnp.pad(res, ((0, 0),) * 3 + ((0, dcout),))
-    impl = winograd24_gn_silu_conv3x3 if kind == "f24" \
-        else winograd_gn_silu_conv3x3
-    out = impl(x, a, b, kernel, bias, res, silu, stats)
-    if not dcout:
-        return out
-    if stats:
-        y, s1, s2 = out
-        return y[..., :cout], s1[:, :cout], s2[:, :cout]
-    return out[..., :cout]
-
-
+# NOTE (r5): a channel-PADDED dispatch for the unaligned ds1 shapes
+# (pad cin/cout 320->384 outside the kernel, run the aligned kernel,
+# slice back — exact by zero affine rows / zero weight columns) was
+# built in r4 and measured in r5: it LOSES to XLA's fused conv at every
+# ds1 shape (512: 3.03 vs 2.51 ms, 3.93 vs 3.52; 1024: 7.33 vs 5.96 or
+# VMEM-locked) and at the dual-ref decoder's aligned 512-ch shapes
+# (2.60 vs 2.43 ms) — .audit_r05.jsonl winograd_pad_ab. The production
+# wrapper was removed; tools/bench_winograd_pad.py keeps the measurement
+# harness should a future Mosaic lift the cin%128 lane-merge limit.
 # ---------------------------------------------------------------------------
 # F(2x4, 3x3): mixed-tile Winograd — F(2,3) along H, F(4,3) along W.
 #
