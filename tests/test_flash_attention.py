@@ -180,3 +180,15 @@ def test_packed_direct_blk_envelope():
     assert fa._packed_direct_blk(160, 1280, 20) == 0    # ds4: sliced wins
     assert fa._packed_direct_blk(2561, 320, 5) == 0     # indivisible
     assert fa._packed_direct_blk(2560, 320, 4) == 0     # d != 64
+
+
+def test_mh_onescol_matches_xla():
+    # the r5 onescol mh variant: per-head [v | ones] interleave, rowsum
+    # from the PV dot's idle lanes — exact vs the XLA reference
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.normal(size=(2, 256, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 512, 128)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 512, 128)), jnp.float32)
+    out = fa._flash_mh_ones(q, k, v, 2, 64 ** -0.5, 128)
+    ref = fa._xla_mh(q, k, v, 2, 64 ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

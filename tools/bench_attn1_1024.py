@@ -51,13 +51,13 @@ def mk(body):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="/root/repo/.audit_r04.jsonl")
+    ap.add_argument("--out", default="/root/repo/.audit_r05.jsonl")
     args = ap.parse_args()
 
     rows = []
     for (b, s, c, heads, blks) in [
-            (32, 9216, 320, 5, (128, 256, 384, 512)),
-            (32, 2304, 640, 10, (128, 256, 384)),
+            (32, 9216, 320, 5, (192, 256)),
+            (32, 2304, 640, 10, (192, 256, 384)),
     ]:
         d = c // heads
         scale = d ** -0.5
@@ -86,26 +86,30 @@ def main():
         for blk in blks:
             if s % blk:
                 continue
+            for tag, impl in (("mh", fa._flash_mh),
+                              ("mhones", fa._flash_mh_ones)):
+                def mh(qq, kk, vv, blk=blk, impl=impl):
+                    return impl(qq, kk, vv, heads, scale, blk)
 
-            def mh(qq, kk, vv, blk=blk):
-                return fa._flash_mh(qq, kk, vv, heads, scale, blk)
-
-            try:
-                ms = timeit(mk(mh), q, k, v)
-                res[f"mh_bq{blk}"] = round(ms, 3)
-                print(f"S={s} C={c}: mh bq={blk} {ms:.2f} ms "
-                      f"({tf/ms*1e3:.0f} TF/s)", flush=True)
-            except Exception as e:
-                print(f"S={s} C={c}: mh bq={blk} FAIL {str(e)[:200]}",
-                      flush=True)
-        # numerics spot-check of the best mh vs prod
+                try:
+                    ms = timeit(mk(mh), q, k, v)
+                    res[f"{tag}_bq{blk}"] = round(ms, 3)
+                    print(f"S={s} C={c}: {tag} bq={blk} {ms:.2f} ms "
+                          f"({tf/ms*1e3:.0f} TF/s)", flush=True)
+                except Exception as e:
+                    print(f"S={s} C={c}: {tag} bq={blk} FAIL "
+                          f"{str(e)[:200]}", flush=True)
+        # numerics spot-check of mh + onescol vs prod
         try:
             want = prod(q, k, v).astype(jnp.float32)
             got = fa._flash_mh(q, k, v, heads, scale,
                                blks[1]).astype(jnp.float32)
-            dmax = float(jnp.max(jnp.abs(got - want)))
-            res["maxdelta"] = dmax
-            print(f"  max|mh-prod| = {dmax:.2e}", flush=True)
+            res["maxdelta"] = float(jnp.max(jnp.abs(got - want)))
+            got1 = fa._flash_mh_ones(q, k, v, heads, scale,
+                                     blks[1]).astype(jnp.float32)
+            res["maxdelta_ones"] = float(jnp.max(jnp.abs(got1 - want)))
+            print(f"  max|mh-prod| = {res['maxdelta']:.2e}  "
+                  f"ones {res['maxdelta_ones']:.2e}", flush=True)
         except Exception as e:
             print(f"  numerics FAIL {str(e)[:200]}", flush=True)
         rows.append({"name": "attn1_1024_ab", "shape": f"{b}x{s}x{c}h{heads}",

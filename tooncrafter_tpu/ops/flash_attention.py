@@ -471,6 +471,66 @@ def _flash_mh(q, k, v, heads: int, scale: float, blk_q: int):
     )(q, k, v)
 
 
+def _flash_mh_ones(q, k, v, heads: int, scale: float, blk_q: int):
+    """onescol variant of _flash_mh (r5): V is interleaved per-head with
+    a d-wide ones block OUTSIDE the kernel ((B, S, H*2D)), so each
+    head's PV dot emits [p@v | rowsum(p)] from the MXU's otherwise-idle
+    output lanes (d=64 of 128) in one (blk_q, 2d) op — killing the
+    per-head (blk_q, Sk) f32 lane-sum the VPU otherwise runs. The 2d=128
+    V lane slices are also Mosaic-native. Same mechanism as
+    _flash_bh_single's onescol (r4, -11% at the dual-ref fusion site)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, c = q.shape
+    sk = k.shape[1]
+    d = c // heads
+    n_q = s // blk_q
+    s2 = scale * _LOG2E
+    v2 = jnp.concatenate(
+        [v.reshape(b, sk, heads, d),
+         jnp.ones((b, sk, heads, d), v.dtype)],
+        axis=-1).reshape(b, sk, heads * 2 * d)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        qb = q_ref[0]            # (blk_q, H*D)
+        kb = k_ref[0]            # (S, H*D)
+        vb = v_ref[0]            # (S, H*2D) — per-head [v | ones]
+        outs = []
+        for h in range(heads):
+            lo = h * d
+            qh = qb[:, lo:lo + d]
+            kh = kb[:, lo:lo + d]
+            vh = vb[:, 2 * lo:2 * lo + 2 * d]
+            sc = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * s2
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp2(sc - m)
+            acc = jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [p@v | rowsum]
+            outs.append((acc[:, :d] / acc[:, d:d + 1])
+                        .astype(o_ref.dtype))
+        o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_q),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, c), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, sk, c), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, sk, 2 * c), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, c), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(q, k, v2)
+
+
 def _xla_mh(q, k, v, heads: int, scale):
     from tooncrafter_tpu.ops.attention import dot_product_attention
 
