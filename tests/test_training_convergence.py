@@ -143,3 +143,34 @@ def test_remat_policies_grad_identical(tiny, policy):
                     jax.tree_util.tree_leaves(re_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("optname", ["adamw", "adamw_lowmem", "adafactor"])
+def test_optimizer_memory_profiles(optname):
+    """TrainConfig.optimizer (r5): 'adamw_lowmem' carries a bf16 first
+    moment; 'adafactor' factors the second moment away (single-chip
+    profile). Updates must apply and keep params finite."""
+    tcfg = T.TrainConfig(optimizer=optname)
+    opt = T.make_optimizer(tcfg)
+    # w large enough that adafactor's factoring engages
+    # (min_dim_size_to_factor=128)
+    params = {"w": jnp.ones((256, 256)), "b": jnp.zeros((32,))}
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(lambda x: x * 0.01 + 0.01, params)
+    updates, state = opt.update(grads, state, params)
+    new = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    for leaf in jax.tree_util.tree_leaves(new):
+        assert np.isfinite(np.asarray(leaf)).all()
+    if optname == "adamw_lowmem":
+        mus = [x.dtype for x in jax.tree_util.tree_leaves(state)
+               if hasattr(x, "dtype") and x.dtype == jnp.bfloat16]
+        assert mus, "bf16 first moment expected in adamw_lowmem state"
+    if optname == "adafactor":
+        nbytes = sum(x.size * x.dtype.itemsize
+                     for x in jax.tree_util.tree_leaves(state)
+                     if hasattr(x, "dtype"))
+        pbytes = sum(x.size * x.dtype.itemsize
+                     for x in jax.tree_util.tree_leaves(params))
+        assert nbytes < pbytes, "factored state must be below param size"
+    with pytest.raises(ValueError):
+        T.make_optimizer(T.TrainConfig(optimizer="nope"))

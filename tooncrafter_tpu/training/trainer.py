@@ -40,6 +40,15 @@ class TrainConfig:
     scale_lr_by_batch: bool = False  # reference: lr = ngpu*bs*base_lr
     rand_cond_frame: bool = True
     grad_accum: int = 1
+    # optimizer memory profile (r5): 'adamw' matches the reference's
+    # configure_optimizers (ddpm3d.py) — fp32 mu+nu, 12 GB of state for
+    # the 1.49B trainables, needs ZeRO sharding over the 'data' mesh on
+    # 16 GB chips. 'adamw_lowmem' keeps the AdamW rule with a bf16
+    # first moment (state 9 GB; nu stays fp32 — bf16 nu stalls the
+    # 1e-3-scale beta2 accumulation). 'adafactor' factors the second
+    # moment away (state ~0 beyond params; the single-chip option,
+    # different update rule).
+    optimizer: str = "adamw"
     # reference scheduler YAML block (ddpm3d.py:1015-1039); resolved through
     # training/lr_schedule.from_config. None -> constant learning_rate.
     scheduler: Optional[dict] = None
@@ -62,7 +71,18 @@ def split_trainable(params):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    tx = optax.adamw(cfg.lr_schedule(), weight_decay=cfg.weight_decay)
+    sched = cfg.lr_schedule()
+    if cfg.optimizer == "adamw":
+        tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "adamw_lowmem":
+        tx = optax.adamw(sched, weight_decay=cfg.weight_decay,
+                         mu_dtype=jnp.bfloat16)
+    elif cfg.optimizer == "adafactor":
+        tx = optax.adafactor(
+            sched, weight_decay_rate=(cfg.weight_decay or None),
+            momentum=None)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     parts = []
     if cfg.grad_clip > 0:
         parts.append(optax.clip_by_global_norm(cfg.grad_clip))
