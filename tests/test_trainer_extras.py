@@ -103,3 +103,23 @@ def test_scheduler_changes_optimizer_updates(tiny_state):
     before = jax.tree_util.tree_leaves(state_w.train_params)[0]
     after = jax.tree_util.tree_leaves(state2.train_params)[0]
     np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+
+
+def test_train_step_with_donation(tiny_state):
+    """cli/train.py jits the step with donate_argnums=(0,) (r5: without
+    donation the update holds old+new params live and OOMs a full
+    single-chip step). The loop's rebind pattern must stay valid: two
+    chained steps run, and touching the donated old state raises."""
+    cfg, model, tcfg0, _, _, batch = tiny_state
+    tcfg = T.TrainConfig(uncond_prob=0.0, rand_cond_frame=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    state, opt = T.make_train_state(model, params, tcfg)
+    step_fn = jax.jit(T.make_train_step(model, opt, tcfg),
+                      donate_argnums=(0,))
+    s1, m1 = step_fn(state, batch, jax.random.PRNGKey(0))
+    s2, m2 = step_fn(s1, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m2["loss"]))
+    with pytest.raises(Exception):
+        # donated buffers are invalidated — using the old state must fail
+        jax.block_until_ready(
+            jax.tree_util.tree_leaves(s1.train_params)[0] + 0)

@@ -19,6 +19,7 @@ Appends one JSON line per measurement to .audit_r03.jsonl.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os as _os
 import sys as _sys
@@ -59,6 +60,11 @@ def main():
     ap.add_argument("--trace", default=None,
                     help="profiler logdir: trace one step and print the "
                          "per-bucket op breakdown")
+    ap.add_argument("--optimizer", default="adamw_bf16mu",
+                    choices=["adamw_bf16mu", "adafactor"],
+                    help="full-update path only: adamw_bf16mu OOMs one "
+                         "16 GB chip (r3/r5); adafactor is the "
+                         "single-chip profile (trainer.py r5)")
     args = ap.parse_args()
 
     import dataclasses
@@ -106,12 +112,20 @@ def main():
         arg = (train, frozen, batch)
         name = f"trainstep_gradonly_bs{b}_remat_{args.remat}"
     else:
-        # bf16 mu: the fp32 (params, mu, nu) triple alone is 13.2 GB and
-        # evicts the activations; bf16 mu fits with remat on
-        opt = optax.adamw(1e-5, mu_dtype=jnp.bfloat16, weight_decay=1e-2)
+        if args.optimizer == "adafactor":
+            opt = optax.adafactor(1e-5, weight_decay_rate=1e-2,
+                                  momentum=None)
+        else:
+            # bf16 mu: the fp32 (params, mu, nu) triple alone is
+            # 13.2 GB and evicts the activations (OOMs in practice)
+            opt = optax.adamw(1e-5, mu_dtype=jnp.bfloat16,
+                              weight_decay=1e-2)
         opt_state = opt.init(train)
 
-        @jax.jit
+        # donate params + opt state: without donation the update holds
+        # old AND new params live (2x 6 GB) and the SECOND call OOMs a
+        # 16 GB chip (r5); the real trainer threads state the same way
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(tp, os_, fr, bt):
             (loss, _), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(tp, fr, bt)
@@ -119,7 +133,7 @@ def main():
             return optax.apply_updates(tp, updates), os_, loss
 
         arg = (train, opt_state, frozen, batch)
-        name = f"trainstep_adamw_bf16mu_bs{b}_remat_{args.remat}"
+        name = f"trainstep_{args.optimizer}_bs{b}_remat_{args.remat}"
 
     t0 = time.time()
     # compile explicitly so cost_analysis is readable (NOTE: the figure
@@ -147,7 +161,12 @@ def main():
     times = []
     for _ in range(args.steps):
         s = time.perf_counter()
-        out = step(*arg)
+        if args.grad_only:
+            out = step(*arg)
+        else:
+            # donated buffers: thread the updated (params, opt_state)
+            tp_, os2, loss_ = out
+            out = step(tp_, os2, frozen, batch)
         float(jnp.mean(
             jax.tree_util.tree_leaves(out)[-1].astype(jnp.float32)))
         times.append(time.perf_counter() - s)
@@ -164,7 +183,11 @@ def main():
 
     if args.trace:
         jax.profiler.start_trace(args.trace)
-        out = step(*arg)
+        if args.grad_only:
+            out = step(*arg)
+        else:
+            tp_, os2, loss_ = out
+            out = step(tp_, os2, frozen, batch)
         float(jnp.mean(
             jax.tree_util.tree_leaves(out)[-1].astype(jnp.float32)))
         jax.profiler.stop_trace()

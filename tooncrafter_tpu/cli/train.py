@@ -158,7 +158,11 @@ def main(argv=None):
         state,
         train_params=jax.device_put(
             state.train_params, M.shard_params(state.train_params, mesh)))
-    step_fn = jax.jit(T.make_train_step(model, opt, tcfg))
+    # donate the state: the loop rebinds `state = step_fn(state, ...)`,
+    # and without donation the update holds old AND new params live
+    # (2x peak — measured to OOM a full single-chip step, r5)
+    step_fn = jax.jit(T.make_train_step(model, opt, tcfg),
+                      donate_argnums=(0,))
     val_fn = jax.jit(T.make_val_step(model, tcfg))
     sampler_log = CB.VideoSampleLogger(model, workdir,
                                        every_steps=args.sample_every)
