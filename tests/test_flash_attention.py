@@ -110,6 +110,11 @@ def test_packed_picker_envelope():
     # round-4 sweep (bq=256 beat the two-pass fallback); beyond it
     # falls back
     assert fa._mh_blk(9216, 9216, 320, 5) == 256
+    # advisor r4: intermediate lengths in (4096, 9216) are NOT swept —
+    # they take the measured two-pass fallback, not the 9216 extrapolation
+    assert fa._mh_blk(4608, 4608, 320, 5) == 0
+    assert fa._mh_blk(6144, 6144, 320, 5) == 0
+    assert fa._mh_blk(8192, 8192, 320, 5) == 0
     # non-64 head dim or huge KV fall back
     assert fa._mh_blk(2560, 2560, 320, 4) == 0
     assert fa._mh_blk(10240, 10240, 320, 5) == 0
