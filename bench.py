@@ -107,11 +107,47 @@ def main():
     def remaining():
         return budget_s - (time.perf_counter() - T0)
 
+    # throughput (clips/min/chip): the BASELINE config also tracks batched
+    # serving throughput, not just single-clip latency — measure a B=2
+    # pipeline (CFG-batched UNet runs at batch 4)
+    tput_b2 = 0.0
+    if full and remaining() > 700:
+        video2 = jnp.concatenate([video, video], 0)
+        tokens2 = jnp.concatenate([tokens, tokens], 0)
+        fs2 = jnp.concatenate([fs, fs], 0)
+
+        def run2(key):
+            out = pipe(params, video2, tokens2, tokens2, fs2, key)
+            return float(jnp.mean(out.astype(jnp.float32)))
+
+        log("batch-2 warmup starting")
+        run2(jax.random.PRNGKey(7))
+        log("batch-2 warmup done")
+        t2s = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            run2(jax.random.PRNGKey(8 + i))
+            t2s.append(time.perf_counter() - t0)
+            log(f"batch-2 run {i}: {t2s[-1]:.2f}s")
+        tput_b2 = 2 * 60.0 / min(t2s)
+
+    # free the 512 model's params BEFORE building the 1024 model: two
+    # full param sets + 1024 activations OOM the 16 GB chip (r5).
+    # Rebinding the locals clears the closure cells `run`/`run2` read
+    # through, so the 5 GB param tree actually drops.
+    if full:
+        params = None
+        video = None
+        pipe = None
+        run = None
+        import gc
+        gc.collect()
+
     # second shipped resolution (configs/inference_1024_v1.0.yaml):
     # 576x1024, 72x128 latents, perframe_ae chunked VAE — same record
     # line so the driver-captured BENCH can show a 1024 regression
     p50_1024 = 0.0
-    if full and remaining() > 1500:
+    if full and remaining() > 900:
         from tooncrafter_tpu.models.diffusion import (ModelConfig,
                                                       ToonCrafter)
 
@@ -145,29 +181,6 @@ def main():
         p50_1024 = min(t1ks)
         del params1k, video1k, pipe1k
 
-    # throughput (clips/min/chip): the BASELINE config also tracks batched
-    # serving throughput, not just single-clip latency — measure a B=2
-    # pipeline (CFG-batched UNet runs at batch 4)
-    tput_b2 = 0.0
-    if full and remaining() > 700:
-        video2 = jnp.concatenate([video, video], 0)
-        tokens2 = jnp.concatenate([tokens, tokens], 0)
-        fs2 = jnp.concatenate([fs, fs], 0)
-
-        def run2(key):
-            out = pipe(params, video2, tokens2, tokens2, fs2, key)
-            return float(jnp.mean(out.astype(jnp.float32)))
-
-        log("batch-2 warmup starting")
-        run2(jax.random.PRNGKey(7))
-        log("batch-2 warmup done")
-        t2s = []
-        for i in range(2):
-            t0 = time.perf_counter()
-            run2(jax.random.PRNGKey(8 + i))
-            t2s.append(time.perf_counter() - t0)
-            log(f"batch-2 run {i}: {t2s[-1]:.2f}s")
-        tput_b2 = 2 * 60.0 / min(t2s)
 
     metric = ("clip_latency_320x512x16_ddim50_s" if full
               else "clip_latency_tiny_cpu_s")
