@@ -202,8 +202,11 @@ def main():
         "unit": "s",
         "vs_baseline": round(vs, 3),
         "clips_per_min_chip": round(60.0 / p50, 3) if full else 0.0,
-        "clips_per_min_chip_b2": round(tput_b2, 3),
     }
+    # optional-phase keys are OMITTED when not measured (a 0.0 would
+    # read as a collapse in round-over-round comparisons)
+    if tput_b2:
+        record["clips_per_min_chip_b2"] = round(tput_b2, 3)
     if p50_1024:
         record["clip_latency_576x1024x16_ddim50_s"] = round(p50_1024, 3)
     # peak HBM (the reference reports ~24 GB on A100, README.md:222);

@@ -85,3 +85,55 @@ def test_temporal_attention_envelope():
     # per-pixel T=16 attention at every UNet level, d=64
     for p in (40 * 64, 20 * 32, 10 * 16):
         assert ta.use_kernel(16, p * 2, 64, inner=512), p
+
+
+def test_winograd_declined_under_bf16_prologue(monkeypatch):
+    """The Winograd kernels implement only the 'ref'/'f32' prologue cast
+    points; under the experimental 'bf16' mode the dispatch must fall to
+    XLA so every conv site measures the same folded numerics (r5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tooncrafter_tpu.ops import winograd as wg
+    from tooncrafter_tpu.ops.norms import gn_affine
+
+    def boom(*a, **k):
+        raise AssertionError("winograd kernel dispatched")
+
+    h = w = 8
+    monkeypatch.setattr(wg, "_INTERPRET", True)
+    monkeypatch.setitem(wg._TABLE, (h, w, 128, 128), (2, 0, False, 0))
+    monkeypatch.setattr(wg, "winograd_gn_silu_conv3x3", boom)
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[0], (2, h, w, 128)).astype(jnp.bfloat16)
+    scale = jax.random.normal(ks[1], (128,)) * 0.2 + 1.0
+    bias = jax.random.normal(ks[2], (128,)) * 0.1
+    kern = (jax.random.normal(ks[3], (3, 3, 128, 128)) * 0.05) \
+        .astype(jnp.bfloat16)
+    cb = jax.random.normal(ks[4], (128,)) * 0.1
+    a, b = gn_affine(x, scale, bias, num_groups=32, eps=1e-5)
+    monkeypatch.setattr(sc, "_PROLOGUE_DTYPE", "bf16")
+    sc._impl(x, a, b, kern, cb, None, True, False)  # XLA path, no boom
+    monkeypatch.setattr(sc, "_PROLOGUE_DTYPE", "ref")
+    with pytest.raises(AssertionError, match="winograd kernel"):
+        sc._impl(x, a, b, kern, cb, None, True, False)
+
+
+def test_remat_policy_validation():
+    """An unknown remat_policy must raise a ValueError naming the field
+    at trace time, not a bare KeyError (r5 review)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tooncrafter_tpu.models.diffusion import ModelConfig, ToonCrafter
+
+    cfg = ModelConfig().tiny(use_checkpoint=True, remat_policy="dotz")
+    m = ToonCrafter(cfg)
+    t = cfg.video_length
+    xx = jnp.zeros((1, t, cfg.latent_h, cfg.latent_w, 8))
+    ctx = jnp.zeros((1, 77 + t * cfg.resampler_queries, cfg.context_dim))
+    with pytest.raises(ValueError, match="remat_policy"):
+        jax.eval_shape(
+            lambda: m.unet.init(jax.random.PRNGKey(0), xx,
+                                jnp.full((1,), 500.0), ctx,
+                                jnp.full((1,), 10.0)))

@@ -851,14 +851,19 @@ class UNetModel(nn.Module):
         def rematted(cls, static_argnums):
             if not self.use_checkpoint:
                 return cls
-            policy = {
+            policies = {
                 None: None,
                 "dots": jax.checkpoint_policies.checkpoint_dots,
                 "dots_no_batch":
                     jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            }[self.remat_policy]
+            }
+            if self.remat_policy not in policies:
+                # fail with the field name, not a KeyError mid-trace
+                raise ValueError(
+                    f"remat_policy={self.remat_policy!r}; expected one "
+                    f"of {sorted(policies, key=str)}")
             return nn.remat(cls, static_argnums=static_argnums,
-                            policy=policy)
+                            policy=policies[self.remat_policy])
 
         def res(idx_name, ch, h, st=None):
             cls = rematted(UNetResBlock, (3, 4, 6))

@@ -472,7 +472,13 @@ def _flash_mh(q, k, v, heads: int, scale: float, blk_q: int):
 
 
 def _flash_mh_ones(q, k, v, heads: int, scale: float, blk_q: int):
-    """onescol variant of _flash_mh (r5): V is interleaved per-head with
+    """MEASURED DEAD END — nothing dispatches here (r5 closure
+    `attn1_1024_onescol_closure_r5`: wash at S=9216, loss at S=2304 —
+    the doubled V footprint cancels the lane-sum saving). Kept with its
+    interpret parity test as the record of the experiment; delete
+    freely if the mh kernel's structure changes.
+
+    onescol variant of _flash_mh (r5): V is interleaved per-head with
     a d-wide ones block OUTSIDE the kernel ((B, S, H*2D)), so each
     head's PV dot emits [p@v | rowsum(p)] from the MXU's otherwise-idle
     output lanes (d=64 of 128) in one (blk_q, 2d) op — killing the

@@ -372,7 +372,10 @@ def _impl(x, a, b, kernel, bias, res, silu: bool, stats: bool):
     from tooncrafter_tpu.ops import winograd
 
     n, h, w, cin = x.shape
-    if _on_tpu() or winograd._INTERPRET:
+    # the winograd kernels implement the 'ref' and 'f32' prologue cast
+    # points only; under the experimental 'bf16' mode (A/B knob) decline
+    # them so every conv site measures the same bf16-folded numerics
+    if (_on_tpu() or winograd._INTERPRET) and _PROLOGUE_DTYPE != "bf16":
         # F(2x4) allowlist outranks F(2x2) (strictly fewer MXU flops;
         # only entered where it measured faster than both XLA and F(2x2)).
         # No channel-padded dispatch: the pad-to-384 workaround for the

@@ -103,6 +103,29 @@ def transform_kernel(kernel):
     return (jnp.asarray(_M16) @ g).reshape(16, c, co)
 
 
+def _make_prologue(xdt, silu: bool):
+    """Shared prologue-dtype policy for both Winograd kernels (advisor
+    r4): under spatial_conv's 'ref' mode the fp32 affine result is
+    ROUNDED to compute dtype before SiLU (torch autocast's cast point).
+    The SiLU arithmetic itself stays fp32 — bf16 mul/sigmoid ops fail
+    Mosaic verification ('vector.broadcast', repro r5) — so vs the XLA
+    'ref' path the residual divergence is the per-element bf16 rounding
+    of sigmoid AND of the product (both below the kernels' ~6e-3
+    envelope, but NOT bit-parity; the cast-point test runs at 0.06
+    tolerance for this reason). The experimental 'bf16' mode is not
+    implemented here — spatial_conv._impl declines Winograd under it."""
+    from tooncrafter_tpu.ops import spatial_conv as _sc
+    pref = _sc._PROLOGUE_DTYPE == "ref" and xdt != jnp.float32
+
+    def prologue(z):
+        if pref:
+            z = z.astype(xdt).astype(jnp.float32)
+        if silu:
+            z = z * jax.nn.sigmoid(z)
+        return z
+    return prologue
+
+
 def winograd_gn_silu_conv3x3(x, a, b, kernel, bias, res, silu: bool,
                              stats: bool):
     """Same contract as spatial_conv._xla_impl: x (N,H,W,C) bf16, a/b
@@ -129,22 +152,7 @@ def winograd_gn_silu_conv3x3(x, a, b, kernel, bias, res, silu: bool,
     if not residual:  # dummy block keeps the kernel arity fixed
         res = jnp.zeros((1, 1, 1, ct), x.dtype)
     wt = transform_kernel(kernel).astype(x.dtype)
-    # honor spatial_conv's prologue-dtype policy (advisor r4): 'ref'
-    # ROUNDS the fp32 affine result to compute dtype before SiLU (torch
-    # autocast's cast point). The SiLU arithmetic itself stays fp32 —
-    # bf16 mul/sigmoid ops fail Mosaic verification ('vector.broadcast',
-    # repro r5) — so vs XLA-'ref' the only residual divergence is the
-    # product's final bf16 rounding, below the kernel's ~6e-3 envelope.
-    from tooncrafter_tpu.ops import spatial_conv as _sc
-    pref = _sc._PROLOGUE_DTYPE == "ref" and x.dtype != jnp.float32
-    xdt = x.dtype
-
-    def prologue(z):
-        if pref:
-            z = z.astype(xdt).astype(jnp.float32)
-        if silu:
-            z = z * jax.nn.sigmoid(z)
-        return z
+    prologue = _make_prologue(x.dtype, silu)
 
     def transform_in(zp):
         """(h+2, w+2, ck) padded slab -> 16 x (th*tw, ck) components."""
@@ -402,19 +410,9 @@ def winograd24_gn_silu_conv3x3(x, a, b, kernel, bias, res, silu: bool,
     if not residual:
         res = jnp.zeros((1, 1, 1, ct), x.dtype)
     wt = transform_kernel24(kernel).astype(x.dtype)
-    # same prologue-dtype policy as the F(2x2) kernel (advisor r4; bf16
-    # round-trip, fp32 SiLU arithmetic — bf16 ops are Mosaic-illegal);
-    # the F(4,3) input transform still runs in fp32 after the cast point
-    from tooncrafter_tpu.ops import spatial_conv as _sc
-    pref = _sc._PROLOGUE_DTYPE == "ref" and x.dtype != jnp.float32
-    xdt = x.dtype
-
-    def prologue(z):
-        if pref:
-            z = z.astype(xdt).astype(jnp.float32)
-        if silu:
-            z = z * jax.nn.sigmoid(z)
-        return z
+    # shared prologue policy (_make_prologue); the F(4,3) input
+    # transform runs in fp32 after the cast point either way
+    prologue = _make_prologue(x.dtype, silu)
 
     def transform_in(zp):
         """(h+2, w+4, ck) fp32 padded slab -> 24 x (th*tw4, ck) tdt
