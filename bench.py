@@ -72,31 +72,9 @@ def main():
 
     from tooncrafter_tpu.models.diffusion import Pipeline
 
-    pipe = Pipeline(model, ddim_steps=ddim_steps, guidance=guidance)
-
     def log(msg):
         print(f"[bench +{time.perf_counter() - T0:.1f}s] {msg}",
               file=sys.stderr, flush=True)
-
-    def run(key):
-        out = pipe(params, video, tokens, tokens, fs, key)
-        # scalar host read: block_until_ready under-synchronizes on remote
-        # backends; a mean() readback forces completion of the whole chain
-        # at negligible transfer cost
-        return float(jnp.mean(out.astype(jnp.float32)))
-
-    log("params ready; warmup starting")
-    run(jax.random.PRNGKey(2))  # warmup/compile (persistently cached)
-    log("warmup done")
-
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        run(jax.random.PRNGKey(3 + i))
-        times.append(time.perf_counter() - t0)
-        log(f"run {i}: {times[-1]:.2f}s")
-    times.sort()
-    p50 = times[len(times) // 2]
 
     # optional phases ride a wall-clock budget: the driver captures one
     # bench invocation, and a remote-compile warmup is minutes — skip an
@@ -107,50 +85,12 @@ def main():
     def remaining():
         return budget_s - (time.perf_counter() - T0)
 
-    # throughput (clips/min/chip): the BASELINE config also tracks batched
-    # serving throughput, not just single-clip latency — measure a B=2
-    # pipeline (CFG-batched UNet runs at batch 4)
-    tput_b2 = 0.0
-    if full and remaining() > 700:
-        video2 = jnp.concatenate([video, video], 0)
-        tokens2 = jnp.concatenate([tokens, tokens], 0)
-        fs2 = jnp.concatenate([fs, fs], 0)
-
-        def run2(key):
-            out = pipe(params, video2, tokens2, tokens2, fs2, key)
-            return float(jnp.mean(out.astype(jnp.float32)))
-
-        log("batch-2 warmup starting")
-        run2(jax.random.PRNGKey(7))
-        log("batch-2 warmup done")
-        t2s = []
-        for i in range(2):
-            t0 = time.perf_counter()
-            run2(jax.random.PRNGKey(8 + i))
-            t2s.append(time.perf_counter() - t0)
-            log(f"batch-2 run {i}: {t2s[-1]:.2f}s")
-        tput_b2 = 2 * 60.0 / min(t2s)
-
-    # free the 512 model's params BEFORE building the 1024 model: two
-    # full param sets + 1024 activations OOM the 16 GB chip (r5).
-    # Rebinding the locals clears the closure cells `run`/`run2` read
-    # through, so the 5 GB param tree actually drops.
-    if full:
-        params = None
-        video = None
-        pipe = None
-        run = None
-        import gc
-        gc.collect()
-        # also drop the 512 compiled executables: they pin XLA-side
-        # buffers, and the 1024 timed runs OOMed from the leftovers
-        # even after the python refs were gone (r5)
-        jax.clear_caches()
-        gc.collect()
-
-    # second shipped resolution (configs/inference_1024_v1.0.yaml):
-    # 576x1024, 72x128 latents, perframe_ae chunked VAE — same record
-    # line so the driver-captured BENCH can show a 1024 regression
+    # second shipped resolution (configs/inference_1024_v1.0.yaml) runs
+    # FIRST, on a fresh heap: the phase sits right at the HBM boundary
+    # and fails with ResourceExhausted when it runs after the 512 phases
+    # (allocation-history-dependent; a fresh process always fits — r5).
+    # Its latency rides the same record line so the driver-captured
+    # BENCH can show a 1024 regression.
     p50_1024 = 0.0
     t1ks = []
     try:
@@ -198,6 +138,59 @@ def main():
             f"{'using partial runs' if t1ks else 'omitting its key'}")
         p50_1024 = min(t1ks) if t1ks else 0.0
 
+
+
+    if full:
+        import gc
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
+
+    pipe = Pipeline(model, ddim_steps=ddim_steps, guidance=guidance)
+
+    def run(key):
+        out = pipe(params, video, tokens, tokens, fs, key)
+        # scalar host read: block_until_ready under-synchronizes on remote
+        # backends; a mean() readback forces completion of the whole chain
+        # at negligible transfer cost
+        return float(jnp.mean(out.astype(jnp.float32)))
+
+    log("params ready; warmup starting")
+    run(jax.random.PRNGKey(2))  # warmup/compile (persistently cached)
+    log("warmup done")
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(3 + i))
+        times.append(time.perf_counter() - t0)
+        log(f"run {i}: {times[-1]:.2f}s")
+    times.sort()
+    p50 = times[len(times) // 2]
+
+    # throughput (clips/min/chip): the BASELINE config also tracks batched
+    # serving throughput, not just single-clip latency — measure a B=2
+    # pipeline (CFG-batched UNet runs at batch 4)
+    tput_b2 = 0.0
+    if full and remaining() > 700:
+        video2 = jnp.concatenate([video, video], 0)
+        tokens2 = jnp.concatenate([tokens, tokens], 0)
+        fs2 = jnp.concatenate([fs, fs], 0)
+
+        def run2(key):
+            out = pipe(params, video2, tokens2, tokens2, fs2, key)
+            return float(jnp.mean(out.astype(jnp.float32)))
+
+        log("batch-2 warmup starting")
+        run2(jax.random.PRNGKey(7))
+        log("batch-2 warmup done")
+        t2s = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            run2(jax.random.PRNGKey(8 + i))
+            t2s.append(time.perf_counter() - t0)
+            log(f"batch-2 run {i}: {t2s[-1]:.2f}s")
+        tput_b2 = 2 * 60.0 / min(t2s)
 
     metric = ("clip_latency_320x512x16_ddim50_s" if full
               else "clip_latency_tiny_cpu_s")
