@@ -111,8 +111,32 @@ def main():
                                      minval=-1, maxval=1)
 
         def run1k(key):
-            out = pipe1k(params1k, video1k, tokens, tokens, fs, key)
-            return float(jnp.mean(out.astype(jnp.float32)))
+            # phase-split with host syncs (the tools/bench_1024.py
+            # structure, green at this geometry): the monolithic
+            # __call__ chain is HBM-marginal at 72x128 and fails with
+            # ResourceExhausted on this 16 GB chip; per-phase jits keep
+            # the peak inside each phase's working set. The phases are
+            # data-dependent (no overlap lost); the host-sync overhead
+            # is milliseconds against a ~50 s clip.
+            def sync(x):
+                return float(jnp.mean(
+                    jax.tree_util.tree_leaves(x)[0].astype(jnp.float32)))
+
+            enc_rng, den_rng = jax.random.split(key)
+            z, refs, concat = pipe1k._encode(params1k, video1k, enc_rng)
+            sync(z)
+            ctxs = pipe1k._conditioning(params1k, tokens, tokens,
+                                        video1k[:, 0])
+            sync(ctxs)
+            samples = pipe1k._denoise(params1k, z, ctxs, concat, fs,
+                                      den_rng)
+            sync(samples)
+            full = pipe1k._decode(params1k, samples, refs)
+            sync(full)
+            tt = samples.shape[1]
+            keep = [i for i in range(tt) if i not in (1, tt - 2)]
+            partial = pipe1k._decode(params1k, samples[:, keep], refs)
+            return sync(partial)
 
         log("1024 warmup starting")
         run1k(jax.random.PRNGKey(12))
@@ -156,15 +180,34 @@ def main():
         return float(jnp.mean(out.astype(jnp.float32)))
 
     log("params ready; warmup starting")
-    run(jax.random.PRNGKey(2))  # warmup/compile (persistently cached)
+    # one retry with backoff: the axon chip sheds wedged HBM from prior
+    # crashed processes only after idle time (r5) — a transient
+    # ResourceExhausted on the headline phase deserves a second attempt
+    for attempt in range(2):
+        try:
+            run(jax.random.PRNGKey(2))  # warmup/compile (cached)
+            break
+        except Exception as exc:
+            log(f"512 warmup attempt {attempt} failed: "
+                f"{type(exc).__name__}: {str(exc)[:200]}")
+            if attempt:
+                raise
+            jax.clear_caches()
+            time.sleep(180)
     log("warmup done")
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        run(jax.random.PRNGKey(3 + i))
+        try:
+            run(jax.random.PRNGKey(3 + i))
+        except Exception as exc:
+            log(f"run {i} failed: {type(exc).__name__}")
+            continue
         times.append(time.perf_counter() - t0)
         log(f"run {i}: {times[-1]:.2f}s")
+    if not times:  # keep the hard failure visible to the driver
+        raise RuntimeError("all 512 timed runs failed")
     times.sort()
     p50 = times[len(times) // 2]
 
