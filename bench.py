@@ -93,6 +93,7 @@ def main():
     # BENCH can show a 1024 regression.
     p50_1024 = 0.0
     t1ks = []
+    params1k = video1k = pipe1k = model1k = None
     try:
       if full and remaining() > 900:
         from tooncrafter_tpu.models.diffusion import (ModelConfig,
@@ -156,11 +157,15 @@ def main():
             t1ks.append(time.perf_counter() - t0)
             log(f"1024 run {i}: {t1ks[-1]:.2f}s")
         p50_1024 = min(t1ks) if t1ks else 0.0
-        del params1k, video1k, pipe1k
     except Exception as exc:  # a failed optional phase must not sink the record
         log(f"1024 phase failed ({type(exc).__name__}: {str(exc)[:200]}); "
             f"{'using partial runs' if t1ks else 'omitting its key'}")
         p50_1024 = min(t1ks) if t1ks else 0.0
+    finally:
+        # a FAILED phase must also drop its 5 GB param tree, or the 512
+        # phase starts with it still resident and cascades into
+        # ResourceExhausted (observed r5)
+        params1k = video1k = pipe1k = model1k = None
 
 
 
