@@ -85,12 +85,89 @@ def main():
     def remaining():
         return budget_s - (time.perf_counter() - T0)
 
-    # second shipped resolution (configs/inference_1024_v1.0.yaml) runs
-    # FIRST, on a fresh heap: the phase sits right at the HBM boundary
-    # and fails with ResourceExhausted when it runs after the 512 phases
-    # (allocation-history-dependent; a fresh process always fits — r5).
-    # Its latency rides the same record line so the driver-captured
-    # BENCH can show a 1024 regression.
+    pipe = Pipeline(model, ddim_steps=ddim_steps, guidance=guidance)
+
+    def run(key):
+        out = pipe(params, video, tokens, tokens, fs, key)
+        # scalar host read: block_until_ready under-synchronizes on remote
+        # backends; a mean() readback forces completion of the whole chain
+        # at negligible transfer cost
+        return float(jnp.mean(out.astype(jnp.float32)))
+
+    log("params ready; warmup starting")
+    # one retry with backoff: the axon chip sheds wedged HBM from prior
+    # crashed processes only after idle time (r5) — a transient
+    # ResourceExhausted on the headline phase deserves a second attempt
+    for attempt in range(2):
+        try:
+            run(jax.random.PRNGKey(2))  # warmup/compile (cached)
+            break
+        except Exception as exc:
+            log(f"512 warmup attempt {attempt} failed: "
+                f"{type(exc).__name__}: {str(exc)[:200]}")
+            if attempt:
+                raise
+            jax.clear_caches()
+            time.sleep(180)
+    log("warmup done")
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        try:
+            run(jax.random.PRNGKey(3 + i))
+        except Exception as exc:
+            log(f"run {i} failed: {type(exc).__name__}")
+            continue
+        times.append(time.perf_counter() - t0)
+        log(f"run {i}: {times[-1]:.2f}s")
+    if not times:  # keep the hard failure visible to the driver
+        raise RuntimeError("all 512 timed runs failed")
+    times.sort()
+    p50 = times[len(times) // 2]
+
+    # throughput (clips/min/chip): the BASELINE config also tracks batched
+    # serving throughput, not just single-clip latency — measure a B=2
+    # pipeline (CFG-batched UNet runs at batch 4)
+    tput_b2 = 0.0
+    if full and remaining() > 700:
+        video2 = jnp.concatenate([video, video], 0)
+        tokens2 = jnp.concatenate([tokens, tokens], 0)
+        fs2 = jnp.concatenate([fs, fs], 0)
+
+        def run2(key):
+            out = pipe(params, video2, tokens2, tokens2, fs2, key)
+            return float(jnp.mean(out.astype(jnp.float32)))
+
+        log("batch-2 warmup starting")
+        run2(jax.random.PRNGKey(7))
+        log("batch-2 warmup done")
+        t2s = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            run2(jax.random.PRNGKey(8 + i))
+            t2s.append(time.perf_counter() - t0)
+            log(f"batch-2 run {i}: {t2s[-1]:.2f}s")
+        tput_b2 = 2 * 60.0 / min(t2s)
+
+    # free the 512 model's state and executables, then run the 1024
+    # phase LAST: the 512 headline must never inherit a failed 1024
+    # phase's heap (r5: the reverse order cascaded ResourceExhausted
+    # into the 512 warmup), while a failed 1024 phase here costs only
+    # its own optional key.
+    if full:
+        params = None
+        video = None
+        pipe = None
+        run = None
+        import gc
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
+
+    # second shipped resolution (configs/inference_1024_v1.0.yaml):
+    # 576x1024, 72x128 latents, perframe_ae chunked VAE — same record
+    # line so the driver-captured BENCH can show a 1024 regression
     p50_1024 = 0.0
     t1ks = []
     params1k = video1k = pipe1k = model1k = None
@@ -169,76 +246,6 @@ def main():
 
 
 
-    if full:
-        import gc
-        gc.collect()
-        jax.clear_caches()
-        gc.collect()
-
-    pipe = Pipeline(model, ddim_steps=ddim_steps, guidance=guidance)
-
-    def run(key):
-        out = pipe(params, video, tokens, tokens, fs, key)
-        # scalar host read: block_until_ready under-synchronizes on remote
-        # backends; a mean() readback forces completion of the whole chain
-        # at negligible transfer cost
-        return float(jnp.mean(out.astype(jnp.float32)))
-
-    log("params ready; warmup starting")
-    # one retry with backoff: the axon chip sheds wedged HBM from prior
-    # crashed processes only after idle time (r5) — a transient
-    # ResourceExhausted on the headline phase deserves a second attempt
-    for attempt in range(2):
-        try:
-            run(jax.random.PRNGKey(2))  # warmup/compile (cached)
-            break
-        except Exception as exc:
-            log(f"512 warmup attempt {attempt} failed: "
-                f"{type(exc).__name__}: {str(exc)[:200]}")
-            if attempt:
-                raise
-            jax.clear_caches()
-            time.sleep(180)
-    log("warmup done")
-
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        try:
-            run(jax.random.PRNGKey(3 + i))
-        except Exception as exc:
-            log(f"run {i} failed: {type(exc).__name__}")
-            continue
-        times.append(time.perf_counter() - t0)
-        log(f"run {i}: {times[-1]:.2f}s")
-    if not times:  # keep the hard failure visible to the driver
-        raise RuntimeError("all 512 timed runs failed")
-    times.sort()
-    p50 = times[len(times) // 2]
-
-    # throughput (clips/min/chip): the BASELINE config also tracks batched
-    # serving throughput, not just single-clip latency — measure a B=2
-    # pipeline (CFG-batched UNet runs at batch 4)
-    tput_b2 = 0.0
-    if full and remaining() > 700:
-        video2 = jnp.concatenate([video, video], 0)
-        tokens2 = jnp.concatenate([tokens, tokens], 0)
-        fs2 = jnp.concatenate([fs, fs], 0)
-
-        def run2(key):
-            out = pipe(params, video2, tokens2, tokens2, fs2, key)
-            return float(jnp.mean(out.astype(jnp.float32)))
-
-        log("batch-2 warmup starting")
-        run2(jax.random.PRNGKey(7))
-        log("batch-2 warmup done")
-        t2s = []
-        for i in range(2):
-            t0 = time.perf_counter()
-            run2(jax.random.PRNGKey(8 + i))
-            t2s.append(time.perf_counter() - t0)
-            log(f"batch-2 run {i}: {t2s[-1]:.2f}s")
-        tput_b2 = 2 * 60.0 / min(t2s)
 
     metric = ("clip_latency_320x512x16_ddim50_s" if full
               else "clip_latency_tiny_cpu_s")
